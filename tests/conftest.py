@@ -1,0 +1,35 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run anywhere (no TPU pod needed), per the multi-host test strategy in
+SURVEY.md §4."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import json
+import pathlib
+
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+TEST_DATA = pathlib.Path(__file__).parent.parent / "stringdecomposer_tpu" / "test_data"
+
+
+@pytest.fixture(scope="session")
+def random_cases():
+    with open(FIXTURES / "random_cases.json") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def edlib_cases():
+    with open(FIXTURES / "edlib_cases.json") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def test_data_dir():
+    return TEST_DATA
