@@ -1,0 +1,110 @@
+"""End-to-end decomposition pipeline (host orchestration).
+
+Single process per host; replaces the reference's Python->subprocess->C++
+architecture (main.py:186-197) with direct device calls. Stages:
+
+  1. FASTA load + validation + RC monomer doubling   (io/fasta.py)
+  2. halo windowing of every read                     (ops/oracle.make_windows)
+  3. batched chain-DP forward on device               (ops/chain_dp.py)
+  4. host traceback replay per window                 (ops/traceback.py)
+  5. deterministic merge to global coords + dedup     (ops/oracle.postprocess)
+  6. raw TSV                                          (report.py)
+  7. rescoring/identity stage (--second-best)         (ops/identity.py)
+  8. final + alt TSV                                  (report.py)
+
+Windows are shape-static ([B, part_size+overlap]); throughput comes from the
+window batch axis, which is the data-parallel sharding axis on a mesh
+(parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .io.fasta import Record, encode, pad_monomers
+from .ops.chain_dp import build_window_batch, chain_dp_forward
+from .ops.oracle import Block, Scoring, make_windows, postprocess
+from .ops.traceback import blocks_from_device
+
+logger = logging.getLogger("SD-TPU")
+
+
+@dataclass
+class WindowTask:
+    read_idx: int
+    offset: int
+    length: int
+
+
+@dataclass
+class PipelineConfig:
+    scoring: Scoring = field(default_factory=Scoring)
+    part_size: int = 5000
+    overlap: int = 500
+    device_batch: int = 16  # windows per device call
+    ed_thr: int = -1
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def decompose_reads(
+    reads: list[Record],
+    monomers: list[Record],
+    cfg: PipelineConfig = PipelineConfig(),
+    forward_fn=None,
+) -> list[tuple[str, list[Block]]]:
+    """Raw decomposition of all reads: returns [(read_name, blocks)] in input
+    order, blocks in global coordinates, halo-deduplicated.
+
+    `forward_fn` defaults to the jitted single-device chain_dp_forward; the
+    sharded multi-device runner (parallel/sharding.py) plugs in here.
+    """
+    if forward_fn is None:
+        forward_fn = chain_dp_forward
+    mono, mono_lens = pad_monomers(monomers, pad_to=_round_up(max(len(m.seq) for m in monomers), 8))
+
+    # 2. window every read (src/main.cpp:67-81)
+    tasks: list[WindowTask] = []
+    read_codes = [encode(r.seq) for r in reads]
+    for ridx, r in enumerate(reads):
+        for off, ln in make_windows(len(r.seq), cfg.part_size, cfg.overlap):
+            tasks.append(WindowTask(ridx, off, ln))
+    W = cfg.part_size + cfg.overlap
+    logger.info("Prepared %d windows from %d reads", len(tasks), len(reads))
+
+    # 3.+4. device forward + host replay, in fixed-size batches
+    sc = cfg.scoring
+    per_window_blocks: list[list[Block]] = []
+    B = cfg.device_batch
+    for s in range(0, len(tasks), B):
+        batch = tasks[s : s + B]
+        wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
+        while len(wins) < B:  # pad the tail batch to the static shape
+            wins.append(wins[-1])
+        wbatch, wlens = build_window_batch(wins, W)
+        blocks_arr, counts = forward_fn(
+            wbatch, wlens, mono, mono_lens,
+            ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match,
+        )
+        blocks_arr, counts = np.asarray(blocks_arr), np.asarray(counts)
+        for b, t in enumerate(batch):
+            per_window_blocks.append(blocks_from_device(blocks_arr[b], counts[b]))
+
+    # 5. merge per read in input order, shift to global coords, dedup
+    out: list[tuple[str, list[Block]]] = []
+    ti = 0
+    for ridx, r in enumerate(reads):
+        merged: list[Block] = []
+        while ti < len(tasks) and tasks[ti].read_idx == ridx:
+            off = tasks[ti].offset
+            for blk in per_window_blocks[ti]:
+                merged.append(Block(blk.monomer, blk.start + off, blk.end + off, blk.identity))
+            ti += 1
+        out.append((r.name, postprocess(merged)))
+        logger.info("%d%%: Aligned %s", (ridx + 1) * 100 // len(reads), r.name)
+    return out
