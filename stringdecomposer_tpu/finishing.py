@@ -1,0 +1,220 @@
+"""Rescoring / finishing stage — the reference's convert_tsv pipeline
+(main.py:107-184) rebuilt around ONE batched device kernel.
+
+For every monomer block the reference makes up to 48 sequential edlib calls
+(all monomers, raw + homopolymer-compressed; main.py:124-142). Here all
+(block, monomer, variant) pairs across ALL reads become one flat pair batch
+for ops/identity.nw_identity_batch, then the per-block logic (second-best
+selection, homopolymer sort, reliability flag, formatting) runs host-side
+with the reference's exact ordering semantics:
+
+  - the monomer iteration order of this stage is the INTERLEAVED RC order of
+    the reference Python loader (main.py:79-84), which differs from the DP
+    stage's appended order — both tie-breaking behaviors are preserved;
+  - second-best: first strict improvement wins (main.py:131-135);
+  - homopolymer ranking: stable sort on -score (main.py:142);
+  - identity float op order (m/L)*100 and "{:.2f}" formatting (main.py:59,157).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .io.fasta import Record, encode
+from .models.reliability import classify, load_coefficients
+from .ops.identity import aai_from_counts, nw_identity_batch
+
+
+def homo_compress(seq: str) -> str:
+    """Collapse homopolymer runs (main.py:87-92)."""
+    if not seq:
+        return seq
+    arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+    keep = np.concatenate([[True], arr[1:] != arr[:-1]])
+    return arr[keep].tobytes().decode()
+
+
+@dataclass
+class FinishedBlock:
+    monomer_name: str
+    start: int
+    end: int
+    score: float
+    second_best: str
+    second_best_score: float
+    homo_best: str
+    homo_best_score: float
+    homo_second_best: str
+    homo_second_best_score: float
+    alt: dict  # name -> score (empty in light mode)
+    reliable: bool
+
+
+def _batched_identity(pairs_q, pairs_t, chunk=4096, kernel=None):
+    """pairs_*: list of np int8 code arrays; returns (matches, totals) int64."""
+    kernel = kernel or nw_identity_batch
+    P = len(pairs_q)
+    matches = np.zeros(P, dtype=np.int64)
+    totals = np.zeros(P, dtype=np.int64)
+    pos = 0
+    while pos < P:
+        qs = pairs_q[pos : pos + chunk]
+        ts = pairs_t[pos : pos + chunk]
+        n = len(qs)
+        # round paddings up to 64 to bound the number of distinct compiled
+        # shapes across chunks
+        Lq = max(1, max(len(x) for x in qs))
+        Lt = max(1, max(len(x) for x in ts))
+        Lq = (Lq + 63) // 64 * 64
+        Lt = (Lt + 63) // 64 * 64
+        q = np.full((n, Lq), 7, dtype=np.int8)
+        t = np.full((n, Lt), 7, dtype=np.int8)
+        ql = np.zeros(n, dtype=np.int32)
+        tl = np.zeros(n, dtype=np.int32)
+        for i, (a, b) in enumerate(zip(qs, ts)):
+            q[i, : len(a)] = a
+            ql[i] = len(a)
+            t[i, : len(b)] = b
+            tl[i] = len(b)
+        _, mt, ln = nw_identity_batch(q, ql, t, tl)
+        matches[pos : pos + n] = np.asarray(mt)
+        totals[pos : pos + n] = np.asarray(ln)
+        pos += n
+    return matches, totals
+
+
+def finish_reads(
+    per_read_blocks: list[tuple[str, list[dict]]],  # [(read_name, [{m,start,end}])]
+    reads_by_name: dict[str, str],  # name -> sequence (uppercase)
+    monomers_interleaved: list[Record],
+    second_best: bool = False,
+    model_file: str | None = None,
+) -> list[tuple[str, list[FinishedBlock]]]:
+    """Rescore every block; returns finished blocks per read, same order."""
+    mono_names = [m.name for m in monomers_interleaved]
+    name_to_idx = {n: i for i, n in enumerate(mono_names)}
+    M = len(mono_names)
+    mono_codes = [encode(m.seq) for m in monomers_interleaved]
+    homo_codes = [encode(homo_compress(m.seq)) for m in monomers_interleaved]
+    coef = load_coefficients(model_file)
+
+    # ---- build the flat pair batch ----
+    pairs_q: list[np.ndarray] = []
+    pairs_t: list[np.ndarray] = []
+    meta: list[tuple[int, int]] = []  # (block_global_idx, stride info implicit)
+    blocks_flat: list[tuple[str, dict]] = []
+    for read_name, blocks in per_read_blocks:
+        seq = reads_by_name[read_name]
+        for d in blocks:
+            blocks_flat.append((read_name, d))
+            sub = seq[d["start"] : d["end"] + 1]
+            sub_codes = encode(sub)
+            if second_best:
+                homo_sub = encode(homo_compress(sub))
+                for j in range(M):
+                    pairs_q.append(sub_codes)
+                    pairs_t.append(mono_codes[j])
+                for j in range(M):
+                    pairs_q.append(homo_sub)
+                    pairs_t.append(homo_codes[j])
+            else:
+                pairs_q.append(sub_codes)
+                pairs_t.append(mono_codes[name_to_idx[d["m"]]])
+
+    matches, totals = _batched_identity(pairs_q, pairs_t)
+    stride = 2 * M if second_best else 1
+
+    # ---- per-block host logic (main.py:107-150) ----
+    out: list[tuple[str, list[FinishedBlock]]] = []
+    flat_idx = 0
+    bi = 0
+    for read_name, blocks in per_read_blocks:
+        fblocks: list[FinishedBlock] = []
+        for d in blocks:
+            base = bi * stride
+            if not second_best:
+                score = aai_from_counts(matches[base], totals[base])
+                fblocks.append(
+                    FinishedBlock(
+                        d["m"], d["start"], d["end"], score,
+                        "None", -1, "None", -1, "None", -1, {}, True,
+                    )
+                )
+            else:
+                scores = [
+                    aai_from_counts(matches[base + j], totals[base + j]) for j in range(M)
+                ]
+                homo_scores = [
+                    aai_from_counts(matches[base + M + j], totals[base + M + j])
+                    for j in range(M)
+                ]
+                best = d["m"]
+                best_idx = name_to_idx[best]
+                # second best: first strict improvement wins (main.py:131-135)
+                secondbest, secondbest_score = None, -1
+                for j in range(M):
+                    if mono_names[j] != best:
+                        if secondbest is None or secondbest_score < scores[j]:
+                            secondbest, secondbest_score = mono_names[j], scores[j]
+                # homopolymer ranking: stable sort on -score (main.py:142)
+                homo_ranked = sorted(
+                    ((mono_names[j], homo_scores[j]) for j in range(M)),
+                    key=lambda x: -x[1],
+                )
+                fblocks.append(
+                    FinishedBlock(
+                        best, d["start"], d["end"], scores[best_idx],
+                        str(secondbest), secondbest_score,
+                        homo_ranked[0][0], homo_ranked[0][1],
+                        homo_ranked[1][0], homo_ranked[1][1],
+                        {mono_names[j]: scores[j] for j in range(M)},
+                        True,
+                    )
+                )
+            bi += 1
+        # reliability flags for the whole read at once (main.py:149)
+        ok = classify(
+            np.array([b.score for b in fblocks]),
+            np.array([b.second_best_score for b in fblocks]),
+            coef,
+        )
+        for b, good in zip(fblocks, ok):
+            b.reliable = bool(good)
+        out.append((read_name, fblocks))
+    return out
+
+
+def write_final_tsv(
+    path_final: str,
+    path_alt: str,
+    finished: list[tuple[str, list[FinishedBlock]]],
+    identity_th: int = 0,
+) -> None:
+    """Final 12-column + alt 6-column TSVs (main.py:153-165)."""
+    with open(path_alt, "w") as falt, open(path_final, "w") as fout:
+        for read_name, blocks in finished:
+            for b in blocks:
+                if b.score >= identity_th:
+                    fout.write(
+                        "\t".join(
+                            [
+                                read_name, b.monomer_name, str(b.start), str(b.end),
+                                f"{b.score:.2f}",
+                                b.second_best, f"{b.second_best_score:.2f}",
+                                b.homo_best, f"{b.homo_best_score:.2f}",
+                                b.homo_second_best, f"{b.homo_second_best_score:.2f}",
+                                "+" if b.reliable else "?",
+                            ]
+                        )
+                        + "\n"
+                    )
+                    for name, sc in b.alt.items():
+                        star = "*" if name == b.monomer_name else "-"
+                        falt.write(
+                            "\t".join(
+                                [read_name, name, str(b.start), str(b.end), f"{sc:.2f}", star]
+                            )
+                            + "\n"
+                        )

@@ -108,3 +108,71 @@ def decompose_reads(
         out.append((r.name, postprocess(merged)))
         logger.info("%d%%: Aligned %s", (ridx + 1) * 100 // len(reads), r.name)
     return out
+
+
+def run(
+    sequences_path: str,
+    monomers_path: str,
+    out_dir: str = ".",
+    out_file: str = "final_decomposition",
+    min_identity: int = 0,
+    scoring: str = "-1,-1,-1,1",
+    batch_size: int = 5000,
+    overlap: int = 500,
+    second_best: bool = False,
+    ed_thr: int = -1,
+    device_batch: int = 16,
+    forward_fn=None,
+) -> str:
+    """Full pipeline: FASTA -> raw TSV -> rescoring -> final + alt TSVs.
+
+    Mirrors the reference driver main() (main.py:201-241): produces
+    <out_file>_raw.tsv, <out_file>.tsv and <out_file>_alt.tsv in out_dir,
+    byte-compatible with the reference. Unlike the reference, the scoring
+    flag actually reaches the DP (the reference driver's argv protocol drops
+    it — main.cpp:381 parses scoring only at argc==10 but the driver always
+    sends 11 args; defaults match, so golden parity is unaffected).
+    Returns the final TSV path.
+    """
+    import os
+    import pathlib
+
+    from .finishing import finish_reads, write_final_tsv
+    from .io.fasta import add_rc_interleaved, add_reverse_complement, load_fasta, validate_acgtn
+    from .report import parse_raw_tsv, write_raw_tsv
+
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    reads = load_fasta(sequences_path)
+    monomers_fwd = load_fasta(monomers_path)
+    validate_acgtn(reads, sequences_path)
+    validate_acgtn(monomers_fwd, monomers_path)
+    ins, dele, mm, match = (int(x) for x in scoring.split(","))
+
+    cfg = PipelineConfig(
+        scoring=Scoring(ins, dele, mm, match),
+        part_size=batch_size,
+        overlap=overlap,
+        device_batch=device_batch,
+        ed_thr=ed_thr,
+    )
+    monomers_dp = add_reverse_complement(monomers_fwd)  # DP stage order
+    result = decompose_reads(reads, monomers_dp, cfg, forward_fn=forward_fn)
+
+    raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
+    write_raw_tsv(raw_path, result, [m.name for m in monomers_dp])
+    logger.info("Saved raw decomposition to %s", raw_path)
+
+    # The rescoring stage re-parses the raw TSV — kept as an explicit,
+    # resumable stage boundary like the reference (main.py:193-196).
+    with open(raw_path) as f:
+        per_read_raw = parse_raw_tsv(f.read())
+    monomers_fin = add_rc_interleaved(load_fasta(monomers_path, upper=True))
+    reads_by_name = {r.name: r.seq for r in load_fasta(sequences_path, upper=True)}
+    finished = finish_reads(
+        per_read_raw, reads_by_name, monomers_fin, second_best=second_best
+    )
+    final_path = os.path.join(out_dir, out_file + ".tsv")
+    alt_path = os.path.join(out_dir, out_file + "_alt.tsv")
+    write_final_tsv(final_path, alt_path, finished, identity_th=min_identity)
+    logger.info("Transformation finished. Results can be found in %s", final_path)
+    return final_path
