@@ -1,0 +1,119 @@
+"""Command-line interface — drop-in replacement for the reference CLI
+(reference: main.py:201-245). All eleven reference flags are accepted with
+identical names, defaults, and output files; TPU-specific knobs are added
+under their own names.
+
+Usage:
+    stringdecomposer-tpu <sequences.fa> <monomers.fa> [options]
+    python -m stringdecomposer_tpu <sequences.fa> <monomers.fa> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="stringdecomposer-tpu",
+        description="Decomposes string into blocks alphabet (TPU-native)",
+    )
+    p.add_argument("sequences", help="fasta-file with long reads or genomic sequences")
+    p.add_argument("monomers", help="fasta-file with monomers")
+    p.add_argument(
+        "-t", "--threads", default="1", required=False,
+        help="number of host threads for result assembly (device count is "
+        "auto-detected; kept for reference CLI compatibility)",
+    )
+    p.add_argument("-o", "--out-dir", default=".", required=False,
+                   help="output directory (by default .)")
+    p.add_argument("--out-file", default="final_decomposition", required=False,
+                   help='output tsv-file (by default "final_decomposition")')
+    p.add_argument(
+        "-i", "--min-identity", type=int, default=0, required=False,
+        help="only monomer alignments with percent identity >= MIN_IDENTITY "
+        "are printed (by default MIN_IDENTITY=0)",
+    )
+    p.add_argument(
+        "-s", "--scoring", default="-1,-1,-1,1", required=False,
+        help='scoring scheme "insertion,deletion,mismatch,match" '
+        '(default "-1,-1,-1,1"); honored by the DP (the reference v1.1.2 '
+        "silently ignored it)",
+    )
+    p.add_argument("-b", "--batch-size", type=str, default="5000", required=False,
+                   help="window size for long-read chunking (by default 5000)")
+    p.add_argument("--second-best", dest="second_best", action="store_true",
+                   help="generate second best monomer and homopolymer scores")
+    p.add_argument(
+        "--ed_thr", type=int, default=-1, required=False,
+        help="align only monomers with edit distance less than ed_thr for "
+        "each segment (by default align all monomers)",
+    )
+    p.add_argument("-v", "--overlap", type=str, default="500", required=False,
+                   help="window overlap (halo) size (by default 500)")
+    # --- TPU-native additions ---
+    p.add_argument("--device-batch", type=int, default=16,
+                   help="windows per device step (data-parallel batch)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the window batch across all visible devices")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the DP stage here")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    pathlib.Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+
+    from .utils.logging import get_logger
+
+    logger = get_logger(os.path.join(args.out_dir, "stringdecomposer.log"),
+                        logger_name="SD-TPU")
+    logger.info("cmd: %s", sys.argv)
+
+    from .io.fasta import InvalidSymbolError
+    from .pipeline import run
+
+    forward_fn = None
+    if args.data_parallel:
+        from .parallel.sharding import make_sharded_forward
+
+        forward_fn = make_sharded_forward()
+
+    profiler_cm = None
+    if args.profile_dir:
+        import jax
+
+        profiler_cm = jax.profiler.trace(args.profile_dir)
+        profiler_cm.__enter__()
+    try:
+        run(
+            args.sequences,
+            args.monomers,
+            out_dir=args.out_dir,
+            out_file=args.out_file,
+            min_identity=args.min_identity,
+            scoring=args.scoring,
+            batch_size=int(args.batch_size),
+            overlap=int(args.overlap),
+            second_best=args.second_best,
+            ed_thr=args.ed_thr,
+            device_batch=args.device_batch,
+            forward_fn=forward_fn,
+        )
+    except InvalidSymbolError as e:
+        logger.error("ERROR: %s", e)
+        return 255  # reference binary exit(-1) semantics (main.cpp:336)
+    finally:
+        if profiler_cm:
+            profiler_cm.__exit__(None, None, None)
+
+    logger.info("Thank you for using StringDecomposer!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""Data-parallel execution of the chain DP over a device mesh.
+
+shard_map over a 1-D "data" mesh: the window batch (and per-window outputs)
+are sharded on axis 0, the monomer tensor is replicated. Each device runs
+the identical chain-DP program on its window shard — the TPU equivalent of
+the reference's OpenMP loop over chunks (src/main.cpp:86-102), with no
+cross-device communication at all (windows are independent by construction
+of the halo chunking scheme, src/main.cpp:73-75).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.chain_dp import chain_dp_forward
+from .mesh import get_mesh
+
+
+def make_sharded_forward(mesh: Mesh | None = None):
+    """Returns a forward_fn with the chain_dp_forward signature that shards
+    the window batch across the mesh. Pads the batch up to a multiple of the
+    device count; padding windows are discarded by the caller (counts of
+    padded rows are simply ignored since the caller slices by task list)."""
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+
+    def forward(windows, window_lens, mono, mono_lens, *, ins=-1, dele=-1,
+                mismatch=-1, match=1, max_blocks=0):
+        B = windows.shape[0]
+        B_pad = (B + n_dev - 1) // n_dev * n_dev
+        if B_pad != B:
+            pad = B_pad - B
+            windows = np.concatenate([windows, np.repeat(windows[-1:], pad, axis=0)])
+            window_lens = np.concatenate([window_lens, np.repeat(window_lens[-1:], pad)])
+
+        inner = partial(
+            chain_dp_forward,
+            ins=ins, dele=dele, mismatch=mismatch, match=match,
+            max_blocks=max_blocks or windows.shape[1],
+        )
+        sharded = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data"), P(None, None), P(None)),
+            out_specs=(P("data", None, None), P("data")),
+            check_rep=False,
+        )
+        blocks, counts = jax.jit(sharded)(windows, window_lens, mono, mono_lens)
+        return blocks[:B], counts[:B]
+
+    return forward

@@ -4,10 +4,15 @@ SURVEY.md §4."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The hosted TPU plugin ("axon") ignores JAX_PLATFORMS; the config update is
+# what actually pins tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import json
 import pathlib
