@@ -148,9 +148,25 @@ def chain_dp_forward(
     end = jnp.concatenate([masked_ends(dp0)[:, None], end_rest.swapaxes(0, 1)], axis=1)
     spend = jnp.concatenate([gather_ends(sp0)[:, None], spend_rest.swapaxes(0, 1)], axis=1)
 
-    # ---- on-device block walk (replaces the backward traceback;
-    #      src/main.cpp:209-269). One iteration per block. ----
-    def walk_one(chain_w, end_w, spend_w, n):
+    blocks, counts = block_walk(end, spend, window_lens, max_blocks)
+    if return_debug:
+        return blocks, counts, (chain, end, spend)
+    return blocks, counts
+
+
+@partial(jax.jit, static_argnames=("max_blocks",))
+def block_walk(
+    end: jnp.ndarray,  # [B, W, M] int32 (padded monomer rows must be < all real)
+    spend: jnp.ndarray,  # [B, W, M] int32
+    window_lens: jnp.ndarray,  # [B] int32
+    max_blocks: int,
+):
+    """On-device block walk (replaces the backward traceback;
+    src/main.cpp:209-269). One iteration per block. The chain score at a
+    block start s is recomputed as max_j end[s-1, j] (it equals the stored
+    dp[s][M][0] of the reference by construction, src/main.cpp:185)."""
+
+    def walk_one(end_w, spend_w, n):
         j0 = jnp.argmax(end_w[n - 1])  # strict > keeps smallest j (ref:209-216)
 
         def cond(st):
@@ -160,13 +176,15 @@ def chain_dp_forward(
         def body(st):
             i, j, cnt, blocks = st
             s = spend_w[i, j]
-            ident = jnp.where(s > 0, end_w[i, j] - chain_w[s], end_w[i, j])
+            prev_col = end_w[jnp.maximum(s - 1, 0)]  # column before the block
+            chain_s = jnp.max(prev_col)
+            ident = jnp.where(s > 0, end_w[i, j] - chain_s, end_w[i, j])
             blocks = blocks.at[cnt].set(
                 jnp.stack([j.astype(jnp.int32), s, i, ident])
             )
             # chain jump: first monomer whose end cell equals the chain score
             # == leftmost argmax of the previous column (src/main.cpp:230-237)
-            nj = jnp.argmax(end_w[jnp.maximum(s - 1, 0)]).astype(jnp.int32)
+            nj = jnp.argmax(prev_col).astype(jnp.int32)
             return s - 1, nj, cnt + 1, blocks
 
         blocks0 = jnp.zeros((max_blocks, 4), dtype=jnp.int32)
@@ -175,10 +193,7 @@ def chain_dp_forward(
         )
         return blocks, cnt
 
-    blocks, counts = jax.vmap(walk_one)(chain, end, spend, window_lens)
-    if return_debug:
-        return blocks, counts, (chain, end, spend)
-    return blocks, counts
+    return jax.vmap(walk_one)(end, spend, window_lens)
 
 
 def build_window_batch(

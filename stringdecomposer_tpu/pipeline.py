@@ -46,6 +46,23 @@ class PipelineConfig:
     overlap: int = 500
     device_batch: int = 16  # windows per device call
     ed_thr: int = -1
+    backend: str = "auto"  # "pallas" | "scan" | "auto" (pallas on TPU)
+
+
+def _resolve_forward(cfg: PipelineConfig):
+    """Pick the chain-DP backend: the fused Pallas kernel on real hardware,
+    the lax.scan implementation elsewhere (Pallas interpret mode on CPU is
+    far slower than the compiled scan)."""
+    import jax
+
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "scan"
+    if backend == "pallas":
+        from .ops.chain_dp_pallas import chain_dp_forward_pallas
+
+        return chain_dp_forward_pallas
+    return chain_dp_forward
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,8 +81,11 @@ def decompose_reads(
     `forward_fn` defaults to the jitted single-device chain_dp_forward; the
     sharded multi-device runner (parallel/sharding.py) plugs in here.
     """
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if forward_fn is None:
-        forward_fn = chain_dp_forward
+        forward_fn = _resolve_forward(cfg)
     mono, mono_lens = pad_monomers(monomers, pad_to=_round_up(max(len(m.seq) for m in monomers), 8))
 
     # 2. window every read (src/main.cpp:67-81)

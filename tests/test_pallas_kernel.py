@@ -1,0 +1,33 @@
+"""Fused Pallas chain-DP kernel vs the scan backend (interpret mode on CPU).
+
+The real-hardware parity run (byte-identical raw TSV on the CHM13 test read,
+TPU v5e) is exercised by bench.py; here the kernel logic itself is checked
+cell-exactly against the scan implementation on the reference fixtures.
+"""
+
+import numpy as np
+import pytest
+
+from stringdecomposer_tpu.io.fasta import Record, add_reverse_complement, encode, pad_monomers
+from stringdecomposer_tpu.ops.chain_dp import build_window_batch, chain_dp_forward
+from stringdecomposer_tpu.ops.chain_dp_pallas import chain_dp_forward_pallas
+
+
+@pytest.mark.parametrize("bt", [1, 2])
+def test_pallas_matches_scan(random_cases, bt):
+    for ci, case in enumerate(random_cases[:4]):
+        monomers = add_reverse_complement([Record(n, s) for n, s in case["monomers"]])
+        mono, lens = pad_monomers(
+            monomers, pad_to=(max(len(m.seq) for m in monomers) + 7) // 8 * 8
+        )
+        sc = case["scoring"]
+        seq = case.get("read") or case["reads"][1][1]
+        wins = [encode(seq[:60]), encode(seq[:37]), encode(seq[:64])]
+        wb, wl = build_window_batch(wins, 64)
+        kw = dict(ins=sc[0], dele=sc[1], mismatch=sc[2], match=sc[3])
+        a = chain_dp_forward(wb, wl, mono, lens, **kw)
+        b = chain_dp_forward_pallas(
+            wb, wl, mono, lens, block_windows=bt, pos_tile=16, **kw
+        )
+        for x, y, nm in zip(a, b, ["blocks", "counts"]):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), (ci, nm)
