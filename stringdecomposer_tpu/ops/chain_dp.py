@@ -79,24 +79,31 @@ def chain_dp_forward(
     traceback output.
     """
     B, W = windows.shape
-    M, L = mono.shape
     if max_blocks == 0:
         max_blocks = W
+    # mono may be shared [M, L] or per-window [B, M, L] (the ed_thr filter
+    # reorders/masks the monomer set per chunk, src/main.cpp:135-149)
+    if mono.ndim == 2:
+        mono_b = jnp.broadcast_to(mono[None], (B,) + mono.shape)
+        lens_b = jnp.broadcast_to(mono_lens[None], (B,) + mono_lens.shape)
+    else:
+        mono_b, lens_b = mono, mono_lens
+    M, L = mono_b.shape[1], mono_b.shape[2]
     k_idx = jnp.arange(L, dtype=jnp.int32)
     k_del = k_idx * dele  # [L]
-    end_mask = k_idx[None, :] == (mono_lens[:, None] - 1)  # [M, L]
-    mono_i32 = mono.astype(jnp.int32)
+    end_mask = k_idx[None, None, :] == (lens_b[:, :, None] - 1)  # [B, M, L]
+    mono_i32 = mono_b.astype(jnp.int32)
 
     def mm_of(read_char):  # [B] -> [B, M, L]
         return jnp.where(
-            mono_i32[None] == read_char[:, None, None], match, mismatch
+            mono_i32 == read_char[:, None, None], match, mismatch
         ).astype(jnp.int32)
 
     def masked_ends(dp):  # [B, M, L] -> [B, M] scores at dp[i][j][len_j-1]
-        return jnp.max(jnp.where(end_mask[None], dp, NEG), axis=2)
+        return jnp.max(jnp.where(end_mask, dp, NEG), axis=2)
 
     def gather_ends(x):  # payload at end cells (sum works: one cell per row)
-        return jnp.sum(jnp.where(end_mask[None], x, 0), axis=2)
+        return jnp.sum(jnp.where(end_mask, x, 0), axis=2)
 
     # ---- init column i = 0 (src/main.cpp:171-182); sp == 0 everywhere:
     # the traceback always closes the running block with start 0 when it
@@ -113,7 +120,7 @@ def chain_dp_forward(
         prev, sp_prev = carry
         read_char, i = x
         mm = mm_of(read_char.astype(jnp.int32))
-        chain_i = jnp.max(jnp.where(end_mask[None], prev, NEG), axis=(1, 2))  # [B]
+        chain_i = jnp.max(jnp.where(end_mask, prev, NEG), axis=(1, 2))  # [B]
         prev_shift = jnp.concatenate(
             [jnp.full_like(prev[:, :, :1], NEG), prev[:, :, :-1]], axis=2
         )

@@ -169,7 +169,9 @@ def chain_dp_forward_pallas(
 ):
     """Drop-in replacement for ops/chain_dp.chain_dp_forward."""
     B, W = windows.shape
-    M, L = mono.shape
+    # mono may be shared [M, L] or per-window [B, M, L] (ed_thr filter)
+    per_window = mono.ndim == 3
+    M, L = mono.shape[-2], mono.shape[-1]
     if max_blocks == 0:
         max_blocks = W
     BT = min(block_windows, B)
@@ -185,15 +187,21 @@ def chain_dp_forward_pallas(
     ).astype(jnp.int32)
     # read chars for i>=1, expanded over monomer rows: [B_pad*32, W_in-1]
     rc = jnp.repeat(windows_p[:, 1:], M_PAD, axis=0)
-    mono_p = jnp.full((M_PAD, L_pad), 5, jnp.int8).at[:M, :L].set(mono).astype(jnp.int32)
-    mono_t = jnp.tile(mono_p, (BT, 1))  # [R, L_pad]
-    lens_t = jnp.tile(
-        jnp.zeros((M_PAD, 1), jnp.int32).at[:M, 0].set(mono_lens), (BT, 1)
-    )  # [R, 1]
-    mono_all = jnp.tile(mono_p, (B_pad, 1))
-    lens_all = jnp.tile(
-        jnp.zeros((M_PAD, 1), jnp.int32).at[:M, 0].set(mono_lens), (B_pad, 1)
-    )
+    if per_window:
+        mono_w = jnp.full((B_pad, M_PAD, L_pad), 5, jnp.int8)
+        mono_w = mono_w.at[:B, :M, :L].set(mono).astype(jnp.int32)
+        lens_w = jnp.zeros((B_pad, M_PAD, 1), jnp.int32).at[:B, :M, 0].set(mono_lens)
+    else:
+        mono_p = (
+            jnp.full((M_PAD, L_pad), 5, jnp.int8).at[:M, :L].set(mono).astype(jnp.int32)
+        )
+        mono_w = jnp.broadcast_to(mono_p[None], (B_pad, M_PAD, L_pad))
+        lens_w = jnp.broadcast_to(
+            jnp.zeros((M_PAD, 1), jnp.int32).at[:M, 0].set(mono_lens)[None],
+            (B_pad, M_PAD, 1),
+        )
+    mono_all = mono_w.reshape(B_pad * M_PAD, L_pad)
+    lens_all = lens_w.reshape(B_pad * M_PAD, 1)
     dp0, sp0, end0, spend0 = _init_column(
         windows_p, mono_all, lens_all, dele, mismatch, match, BT
     )
@@ -208,8 +216,8 @@ def chain_dp_forward_pallas(
         grid=(nprog, n_tiles),
         in_specs=[
             pl.BlockSpec((R, pos_tile), lambda b, t: (b, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, L_pad), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, L_pad), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, L_pad), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, L_pad), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         ],
@@ -225,8 +233,8 @@ def chain_dp_forward_pallas(
             pltpu.VMEM((R, L_pad), jnp.int32),
             pltpu.VMEM((R, L_pad), jnp.int32),
         ],
-    interpret=interpret,
-    )(rc, mono_t[:R], lens_t[:R], dp0, sp0)
+        interpret=interpret,
+    )(rc, mono_all, lens_all, dp0, sp0)
 
     end = jnp.concatenate([end0, end_rest], axis=1)[:, :W]
     spend = jnp.concatenate([spend0, spend_rest], axis=1)[:, :W]

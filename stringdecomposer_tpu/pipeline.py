@@ -101,19 +101,42 @@ def decompose_reads(
     sc = cfg.scoring
     per_window_blocks: list[list[Block]] = []
     B = cfg.device_batch
+    M, L = mono.shape
     for s in range(0, len(tasks), B):
         batch = tasks[s : s + B]
         wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
         while len(wins) < B:  # pad the tail batch to the static shape
             wins.append(wins[-1])
         wbatch, wlens = build_window_batch(wins, W)
+        perms = None
+        if cfg.ed_thr > -1:
+            # per-chunk monomer pre-filter (src/main.cpp:128-149): subset and
+            # (distance, index) ordering are tie-breaking-relevant
+            from .ops.hw_filter import filter_monomers, hw_distance_batch
+
+            dist = np.asarray(hw_distance_batch(wbatch, wlens, mono, mono_lens))
+            mono_b = np.full((B, M, L), 5, dtype=np.int8)
+            lens_b = np.zeros((B, M), dtype=np.int32)
+            perms = []
+            for b in range(B):
+                keep = filter_monomers(dist[b], cfg.ed_thr)
+                mono_b[b, : len(keep)] = mono[keep]
+                lens_b[b, : len(keep)] = mono_lens[keep]
+                perms.append(keep)
+            fwd_mono, fwd_lens = mono_b, lens_b
+        else:
+            fwd_mono, fwd_lens = mono, mono_lens
         blocks_arr, counts = forward_fn(
-            wbatch, wlens, mono, mono_lens,
+            wbatch, wlens, fwd_mono, fwd_lens,
             ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match,
         )
         blocks_arr, counts = np.asarray(blocks_arr), np.asarray(counts)
         for b, t in enumerate(batch):
-            per_window_blocks.append(blocks_from_device(blocks_arr[b], counts[b]))
+            blocks = blocks_from_device(blocks_arr[b], counts[b])
+            if perms is not None:  # map filtered row -> original monomer index
+                for blk in blocks:
+                    blk.monomer = int(perms[b][blk.monomer])
+            per_window_blocks.append(blocks)
 
     # 5. merge per read in input order, shift to global coords, dedup
     out: list[tuple[str, list[Block]]] = []
