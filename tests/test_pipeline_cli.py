@@ -1,0 +1,86 @@
+"""End-to-end pipeline + CLI tests (small synthetic case fast; golden slow)."""
+
+import filecmp
+import os
+
+import pytest
+
+from stringdecomposer_tpu.cli import main as cli_main
+
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+@pytest.fixture
+def tiny_case(tmp_path):
+    seqs = tmp_path / "seqs.fa"
+    mono = tmp_path / "monomers.fa"
+    _write(seqs, ">r1\nACGTACGGACGTACGTTACGTACGT\n>r2 with description\nTTTTACGTACGT\n")
+    _write(mono, ">mA\nACGTACGT\n>mB\nTTTT\n")
+    return str(seqs), str(mono), str(tmp_path)
+
+
+def test_cli_light_mode(tiny_case):
+    seqs, mono, out = tiny_case
+    rc = cli_main([seqs, mono, "-o", out, "-b", "16", "-v", "4", "--device-batch", "2"])
+    assert rc == 0
+    final = os.path.join(out, "final_decomposition.tsv")
+    assert os.path.exists(final)
+    assert os.path.exists(os.path.join(out, "final_decomposition_raw.tsv"))
+    assert os.path.exists(os.path.join(out, "final_decomposition_alt.tsv"))
+    assert os.path.exists(os.path.join(out, "stringdecomposer.log"))
+    rows = [ln.split("\t") for ln in open(final).read().splitlines()]
+    assert rows and all(len(r) == 12 for r in rows)
+    # light mode: second-best columns are None/-1.00, alt file empty
+    assert all(r[5] == "None" and r[6] == "-1.00" for r in rows)
+    assert open(os.path.join(out, "final_decomposition_alt.tsv")).read() == ""
+    # r1/r2 both present, input order preserved
+    assert rows[0][0] == "r1" and rows[-1][0] == "r2"
+
+
+def test_cli_second_best_and_min_identity(tiny_case):
+    seqs, mono, out = tiny_case
+    rc = cli_main(
+        [seqs, mono, "-o", out, "-b", "16", "-v", "4", "--second-best",
+         "-i", "60", "--device-batch", "2", "--out-file", "sb"]
+    )
+    assert rc == 0
+    rows = [ln.split("\t") for ln in open(os.path.join(out, "sb.tsv")).read().splitlines()]
+    assert rows and all(len(r) == 12 for r in rows)
+    assert all(float(r[4]) >= 60 for r in rows)  # min-identity filter
+    assert all(r[5] != "None" for r in rows)  # second best computed
+    alt = [ln.split("\t") for ln in open(os.path.join(out, "sb_alt.tsv")).read().splitlines()]
+    assert alt and all(len(r) == 6 for r in alt)
+    # alt rows per block = all monomers (2 + 2 RC), best starred
+    stars = [r for r in alt if r[5] == "*"]
+    assert len(alt) == 4 * len(rows) and len(stars) == len(rows)
+
+
+def test_cli_invalid_symbol(tmp_path):
+    seqs = tmp_path / "bad.fa"
+    mono = tmp_path / "m.fa"
+    _write(seqs, ">r\nACGTX\n")
+    _write(mono, ">m\nACGT\n")
+    rc = cli_main([str(seqs), str(mono), "-o", str(tmp_path)])
+    assert rc == 255  # reference binary exit(-1) semantics
+
+
+@pytest.mark.slow
+def test_golden_final_tsv(test_data_dir, tmp_path):
+    """The reference repo's golden test (Makefile:16-19): --second-best run on
+    the CHM13 read must be byte-identical to final_decomposition_fc89af8.tsv."""
+    rc = cli_main(
+        [
+            str(test_data_dir / "read.fa"),
+            str(test_data_dir / "DXZ1_star_monomers.fa"),
+            "-o", str(tmp_path), "--second-best",
+        ]
+    )
+    assert rc == 0
+    assert filecmp.cmp(
+        tmp_path / "final_decomposition.tsv",
+        test_data_dir / "final_decomposition_fc89af8.tsv",
+        shallow=False,
+    )
