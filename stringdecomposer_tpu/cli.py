@@ -61,6 +61,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the window batch across all visible devices")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the DP stage here")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                   "(multi-host; topology is then taken from jax)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="number of cooperating hosts (reads are sharded "
+                   "round-robin; host 0 merges and finishes)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this host's index in [0, num-hosts)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="process count for --coordinator (defaults to env)")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse existing raw-TSV fragments/checkpoints "
+                   "instead of recomputing the DP stage")
     return p
 
 
@@ -89,21 +102,46 @@ def main(argv: list[str] | None = None) -> int:
 
         profiler_cm = jax.profiler.trace(args.profile_dir)
         profiler_cm.__enter__()
+    multihost = args.coordinator is not None or args.num_hosts > 1
     try:
-        run(
-            args.sequences,
-            args.monomers,
-            out_dir=args.out_dir,
-            out_file=args.out_file,
-            min_identity=args.min_identity,
-            scoring=args.scoring,
-            batch_size=int(args.batch_size),
-            overlap=int(args.overlap),
-            second_best=args.second_best,
-            ed_thr=args.ed_thr,
-            device_batch=args.device_batch,
-            forward_fn=forward_fn,
-        )
+        if multihost:
+            from .parallel.multihost import HostTopology, run_multihost
+
+            run_multihost(
+                args.sequences,
+                args.monomers,
+                out_dir=args.out_dir,
+                out_file=args.out_file,
+                min_identity=args.min_identity,
+                scoring=args.scoring,
+                batch_size=int(args.batch_size),
+                overlap=int(args.overlap),
+                second_best=args.second_best,
+                ed_thr=args.ed_thr,
+                device_batch=args.device_batch,
+                topology=HostTopology(args.num_hosts, args.host_id),
+                coordinator=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.host_id if args.coordinator else None,
+                resume=args.resume,
+                data_parallel=args.data_parallel,
+            )
+        else:
+            run(
+                args.sequences,
+                args.monomers,
+                out_dir=args.out_dir,
+                out_file=args.out_file,
+                min_identity=args.min_identity,
+                scoring=args.scoring,
+                batch_size=int(args.batch_size),
+                overlap=int(args.overlap),
+                second_best=args.second_best,
+                ed_thr=args.ed_thr,
+                device_batch=args.device_batch,
+                forward_fn=forward_fn,
+                resume=args.resume,
+            )
     except InvalidSymbolError as e:
         logger.error("ERROR: %s", e)
         return 255  # reference binary exit(-1) semantics (main.cpp:336)

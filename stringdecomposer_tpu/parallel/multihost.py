@@ -1,0 +1,213 @@
+"""Multi-host execution: per-host read sharding + deterministic TSV merge.
+
+The reference is single-node (SURVEY.md §2: OpenMP threads + one fork/exec,
+no network communication). The TPU-native scale-out model replaces that with:
+
+  - `jax.distributed.initialize` for process topology (parallel/mesh.py);
+  - reads sharded across hosts round-robin by input index — DCN carries only
+    input distribution, never DP traffic (windows are independent by
+    construction of the halo chunking scheme, src/main.cpp:73-75);
+  - each host runs the ordinary single-host pipeline on its local devices
+    (data-parallel window sharding within the host via parallel/sharding.py)
+    and writes a raw-TSV *fragment* plus a `.done` sentinel — the fragment
+    is a per-host checkpoint, so a failed run resumes per host;
+  - host 0 merges fragments by global read index, reproducing the
+    reference's order-restoring sort (src/main.cpp:103-120) across hosts:
+    output bytes are identical to a single-host run for any host count.
+
+No collective rides the output path; the merge is pure filesystem, so the
+same code runs under real `jax.distributed` on a pod slice or as plain
+processes in tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+
+logger = logging.getLogger("SD-TPU")
+
+
+@dataclass
+class HostTopology:
+    num_hosts: int = 1
+    host_id: int = 0
+
+
+def detect_topology() -> HostTopology:
+    """Topology from an initialized jax.distributed runtime (1 host if
+    uninitialized)."""
+    import jax
+
+    return HostTopology(num_hosts=jax.process_count(), host_id=jax.process_index())
+
+
+def shard_indices(n_reads: int, topo: HostTopology) -> list[int]:
+    """Global read indices owned by this host (round-robin by input index,
+    the multi-host analog of the reference's chunk interleaving)."""
+    return list(range(topo.host_id, n_reads, topo.num_hosts))
+
+
+def fragment_path(out_dir: str, out_file: str, host_id: int) -> str:
+    return os.path.join(out_dir, f"{out_file}_raw.shard{host_id:05d}.tsv")
+
+
+def _sentinel(frag: str) -> str:
+    return frag + ".done"
+
+
+def _wait_for(paths: list[str], timeout: float = 3600.0, poll: float = 0.2) -> None:
+    deadline = time.monotonic() + timeout
+    missing = list(paths)
+    while missing:
+        missing = [p for p in missing if not os.path.exists(p)]
+        if not missing:
+            return
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"timed out waiting for host fragments: {missing}")
+        time.sleep(poll)
+
+
+def merge_raw_fragments(
+    out_dir: str, out_file: str, topo: HostTopology, n_reads: int
+) -> str:
+    """Interleave per-host fragments back into global read order.
+
+    Each fragment holds its host's reads in ascending global index (the
+    single-host pipeline preserves input order), so the merge is one
+    sequential pass per fragment — the cross-host version of the
+    reference's index re-sort (src/main.cpp:103-120).
+    """
+    # split every fragment into per-read row groups; the sidecar written next
+    # to each fragment records exact per-read row counts, so zero-block reads
+    # and duplicate read names merge unambiguously
+    frags: list[list[list[str]]] = []
+    for h in range(topo.num_hosts):
+        frag = fragment_path(out_dir, out_file, h)
+        with open(frag) as f:
+            rows = f.read().split("\n")[:-1]
+        groups: list[list[str]] = []
+        pos = 0
+        with open(frag + ".reads") as f:
+            for ln in f.read().split("\n")[:-1]:
+                _, cnt = ln.rsplit("\t", 1)
+                n = int(cnt)
+                groups.append(rows[pos : pos + n])
+                pos += n
+        frags.append(groups)
+
+    cursors = [0] * topo.num_hosts
+    raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
+    with open(raw_path, "w") as out:
+        for gi in range(n_reads):
+            h = gi % topo.num_hosts
+            for row in frags[h][cursors[h]]:
+                out.write(row + "\n")
+            cursors[h] += 1
+    return raw_path
+
+
+def run_multihost(
+    sequences_path: str,
+    monomers_path: str,
+    out_dir: str = ".",
+    out_file: str = "final_decomposition",
+    min_identity: int = 0,
+    scoring: str = "-1,-1,-1,1",
+    batch_size: int = 5000,
+    overlap: int = 500,
+    second_best: bool = False,
+    ed_thr: int = -1,
+    device_batch: int = 16,
+    topology: HostTopology | None = None,
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    resume: bool = False,
+    data_parallel: bool = False,
+    barrier_timeout: float = 3600.0,
+) -> str | None:
+    """Full pipeline across hosts. Returns the final TSV path on host 0,
+    None on other hosts.
+
+    If `coordinator` is given, `jax.distributed` is initialized and the
+    topology is taken from it; otherwise `topology` (or single-host) is
+    used, which lets plain processes cooperate through the shared out_dir.
+    With `resume=True` a host whose fragment sentinel already exists skips
+    its DP stage entirely (per-host checkpoint/restart).
+    """
+    import pathlib
+
+    from ..finishing import finish_reads, write_final_tsv
+    from ..io.fasta import add_rc_interleaved, add_reverse_complement, load_fasta, validate_acgtn
+    from ..ops.oracle import Scoring
+    from ..pipeline import PipelineConfig, decompose_reads
+    from ..report import parse_raw_tsv, write_raw_tsv
+    from .mesh import initialize_distributed
+
+    if coordinator is not None:
+        initialize_distributed(coordinator, num_processes, process_id)
+        topology = detect_topology()
+    topo = topology or HostTopology()
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+
+    reads = load_fasta(sequences_path)
+    monomers_fwd = load_fasta(monomers_path)
+    validate_acgtn(reads, sequences_path)
+    validate_acgtn(monomers_fwd, monomers_path)
+    monomers_dp = add_reverse_complement(monomers_fwd)
+
+    frag = fragment_path(out_dir, out_file, topo.host_id)
+    if not (resume and os.path.exists(_sentinel(frag))):
+        ins, dele, mm, match = (int(x) for x in scoring.split(","))
+        cfg = PipelineConfig(
+            scoring=Scoring(ins, dele, mm, match),
+            part_size=batch_size,
+            overlap=overlap,
+            device_batch=device_batch,
+            ed_thr=ed_thr,
+        )
+        forward_fn = None
+        if data_parallel:
+            from .sharding import make_sharded_forward
+
+            forward_fn = make_sharded_forward()
+        mine = shard_indices(len(reads), topo)
+        local = [reads[i] for i in mine]
+        logger.info(
+            "host %d/%d: decomposing %d of %d reads",
+            topo.host_id, topo.num_hosts, len(local), len(reads),
+        )
+        result = decompose_reads(local, monomers_dp, cfg, forward_fn=forward_fn)
+        write_raw_tsv(frag, result, [m.name for m in monomers_dp])
+        with open(frag + ".reads", "w") as f:
+            for r, (_, blocks) in zip(local, result):
+                f.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
+        with open(_sentinel(frag), "w") as f:
+            f.write("ok\n")
+    else:
+        logger.info("host %d: fragment exists, resuming past DP stage", topo.host_id)
+
+    if topo.host_id != 0:
+        return None
+
+    # host 0: wait for every fragment, merge, finish
+    _wait_for(
+        [_sentinel(fragment_path(out_dir, out_file, h)) for h in range(topo.num_hosts)],
+        timeout=barrier_timeout,
+    )
+    raw_path = merge_raw_fragments(out_dir, out_file, topo, len(reads))
+    logger.info("Saved merged raw decomposition to %s", raw_path)
+
+    with open(raw_path) as f:
+        per_read_raw = parse_raw_tsv(f.read())
+    monomers_fin = add_rc_interleaved(load_fasta(monomers_path, upper=True))
+    reads_by_name = {r.name: r.seq for r in load_fasta(sequences_path, upper=True)}
+    finished = finish_reads(per_read_raw, reads_by_name, monomers_fin, second_best=second_best)
+    final_path = os.path.join(out_dir, out_file + ".tsv")
+    alt_path = os.path.join(out_dir, out_file + "_alt.tsv")
+    write_final_tsv(final_path, alt_path, finished, identity_th=min_identity)
+    logger.info("Transformation finished. Results can be found in %s", final_path)
+    return final_path

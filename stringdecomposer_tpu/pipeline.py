@@ -166,6 +166,7 @@ def run(
     ed_thr: int = -1,
     device_batch: int = 16,
     forward_fn=None,
+    resume: bool = False,
 ) -> str:
     """Full pipeline: FASTA -> raw TSV -> rescoring -> final + alt TSVs.
 
@@ -199,11 +200,15 @@ def run(
         ed_thr=ed_thr,
     )
     monomers_dp = add_reverse_complement(monomers_fwd)  # DP stage order
-    result = decompose_reads(reads, monomers_dp, cfg, forward_fn=forward_fn)
-
     raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
-    write_raw_tsv(raw_path, result, [m.name for m in monomers_dp])
-    logger.info("Saved raw decomposition to %s", raw_path)
+    if resume and os.path.exists(raw_path):
+        # the raw TSV is the explicit resumable stage boundary (the
+        # reference's accidental one, main.py:193-196, made official)
+        logger.info("Resuming from existing raw decomposition %s", raw_path)
+    else:
+        result = decompose_reads(reads, monomers_dp, cfg, forward_fn=forward_fn)
+        write_raw_tsv(raw_path, result, [m.name for m in monomers_dp])
+        logger.info("Saved raw decomposition to %s", raw_path)
 
     # The rescoring stage re-parses the raw TSV — kept as an explicit,
     # resumable stage boundary like the reference (main.py:193-196).

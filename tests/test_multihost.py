@@ -1,0 +1,105 @@
+"""Multi-host sharding: fragment/merge determinism vs the single-host run.
+
+SURVEY.md §2: result assembly must be byte-stable regardless of worker count
+(the reference is byte-identical at t=1 vs t=8; the multi-host build must be
+byte-identical at any host count)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from stringdecomposer_tpu.parallel.multihost import HostTopology, run_multihost
+from stringdecomposer_tpu.pipeline import run as run_single
+
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+@pytest.fixture
+def case(tmp_path):
+    seqs = tmp_path / "seqs.fa"
+    mono = tmp_path / "monomers.fa"
+    _write(
+        seqs,
+        ">r1\nACGTACGGACGTACGTTACGTACGT\n"
+        ">r2\nTTTTACGTACGT\n"
+        ">r3\nACGTACGTACGAACGTTTTTTT\n",
+    )
+    _write(mono, ">mA\nACGTACGT\n>mB\nTTTT\n")
+    return str(seqs), str(mono), tmp_path
+
+
+COMMON = dict(batch_size=16, overlap=4, device_batch=2, second_best=True)
+
+
+def _read(p):
+    with open(p) as f:
+        return f.read()
+
+
+def test_two_hosts_byte_identical(case):
+    seqs, mono, tmp = case
+    single = tmp / "single"
+    multi = tmp / "multi"
+    run_single(seqs, mono, out_dir=str(single), **COMMON)
+
+    # hosts run sequentially here (non-zero hosts first); the filesystem
+    # barrier makes the order irrelevant
+    for h in [1, 0]:
+        out = run_multihost(
+            seqs, mono, out_dir=str(multi),
+            topology=HostTopology(num_hosts=2, host_id=h), **COMMON,
+        )
+        assert (out is None) == (h != 0)
+
+    for name in ["final_decomposition_raw.tsv", "final_decomposition.tsv",
+                 "final_decomposition_alt.tsv"]:
+        assert _read(multi / name) == _read(single / name), name
+
+
+def test_resume_skips_dp(case):
+    seqs, mono, tmp = case
+    out = tmp / "resume"
+    for h in [1, 0]:
+        run_multihost(seqs, mono, out_dir=str(out),
+                      topology=HostTopology(2, h), **COMMON)
+    frag = out / "final_decomposition_raw.shard00001.tsv"
+    before = os.path.getmtime(frag)
+    final = _read(out / "final_decomposition.tsv")
+    for h in [1, 0]:
+        run_multihost(seqs, mono, out_dir=str(out), resume=True,
+                      topology=HostTopology(2, h), **COMMON)
+    assert os.path.getmtime(frag) == before  # DP stage skipped
+    assert _read(out / "final_decomposition.tsv") == final
+
+
+@pytest.mark.slow
+def test_concurrent_hosts_via_cli(case):
+    """Three real processes cooperating through the shared out-dir, launched
+    through the CLI exactly as a pod deployment would."""
+    seqs, mono, tmp = case
+    single = tmp / "single3"
+    multi = tmp / "multi3"
+    run_single(seqs, mono, out_dir=str(single), **COMMON)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "stringdecomposer_tpu", seqs, mono,
+             "-o", str(multi), "-b", "16", "-v", "4", "--device-batch", "2",
+             "--second-best", "--num-hosts", "3", "--host-id", str(h)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for h in range(3)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()
+
+    for name in ["final_decomposition_raw.tsv", "final_decomposition.tsv",
+                 "final_decomposition_alt.tsv"]:
+        assert _read(multi / name) == _read(single / name), name
