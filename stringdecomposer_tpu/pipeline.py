@@ -97,11 +97,27 @@ def decompose_reads(
     W = cfg.part_size + cfg.overlap
     logger.info("Prepared %d windows from %d reads", len(tasks), len(reads))
 
-    # 3.+4. device forward + host replay, in fixed-size batches
+    # 3.+4. device forward + host replay, in fixed-size batches. Dispatch is
+    # asynchronous (JAX queues the device work); a bounded in-flight window
+    # lets host-side input prep and block replay overlap device compute.
     sc = cfg.scoring
     per_window_blocks: list[list[Block]] = []
     B = cfg.device_batch
     M, L = mono.shape
+    MAX_INFLIGHT = 4
+    inflight: list[tuple[list[WindowTask], object, object, list | None]] = []
+
+    def drain(one: bool) -> None:
+        while inflight and (len(inflight) >= MAX_INFLIGHT if one else True):
+            batch, blocks_dev, counts_dev, perms = inflight.pop(0)
+            blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
+            for b, t in enumerate(batch):
+                blocks = blocks_from_device(blocks_arr[b], counts[b])
+                if perms is not None:  # map filtered row -> original index
+                    for blk in blocks:
+                        blk.monomer = int(perms[b][blk.monomer])
+                per_window_blocks.append(blocks)
+
     for s in range(0, len(tasks), B):
         batch = tasks[s : s + B]
         wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
@@ -126,17 +142,13 @@ def decompose_reads(
             fwd_mono, fwd_lens = mono_b, lens_b
         else:
             fwd_mono, fwd_lens = mono, mono_lens
-        blocks_arr, counts = forward_fn(
+        blocks_dev, counts_dev = forward_fn(
             wbatch, wlens, fwd_mono, fwd_lens,
             ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match,
         )
-        blocks_arr, counts = np.asarray(blocks_arr), np.asarray(counts)
-        for b, t in enumerate(batch):
-            blocks = blocks_from_device(blocks_arr[b], counts[b])
-            if perms is not None:  # map filtered row -> original monomer index
-                for blk in blocks:
-                    blk.monomer = int(perms[b][blk.monomer])
-            per_window_blocks.append(blocks)
+        inflight.append((batch, blocks_dev, counts_dev, perms))
+        drain(one=True)
+    drain(one=False)
 
     # 5. merge per read in input order, shift to global coords, dedup
     out: list[tuple[str, list[Block]]] = []
