@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 INF = -1_000_000  # src/main.cpp:156
-NEG = jnp.int32(-(1 << 30))
+NEG = np.int32(-(1 << 30))  # numpy scalar: importing must not init a backend
 READ_PAD = 6  # never equals any monomer code (monomer pad is 5)
 
 

@@ -16,8 +16,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
+try:  # jax >= 0.8 (check_vma superseded check_rep)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw["check_vma"] = kw.pop("check_rep", False)
+        return _shard_map(f, **kw)
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
@@ -25,13 +29,24 @@ from ..ops.chain_dp import chain_dp_forward
 from .mesh import get_mesh
 
 
-def make_sharded_forward(mesh: Mesh | None = None):
+def make_sharded_forward(mesh: Mesh | None = None, inner_fn=None):
     """Returns a forward_fn with the chain_dp_forward signature that shards
     the window batch across the mesh. Pads the batch up to a multiple of the
     device count; padding windows are discarded by the caller (counts of
-    padded rows are simply ignored since the caller slices by task list)."""
+    padded rows are simply ignored since the caller slices by task list).
+
+    `inner_fn` is the per-device chain-DP program: the fused Pallas kernel on
+    real hardware, the lax.scan backend on CPU (same auto rule as the
+    single-device pipeline)."""
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
+    if inner_fn is None:
+        if jax.default_backend() == "cpu":
+            inner_fn = chain_dp_forward
+        else:
+            from ..ops.chain_dp_pallas import chain_dp_forward_pallas
+
+            inner_fn = chain_dp_forward_pallas
 
     def forward(windows, window_lens, mono, mono_lens, *, ins=-1, dele=-1,
                 mismatch=-1, match=1, max_blocks=0):
@@ -43,7 +58,7 @@ def make_sharded_forward(mesh: Mesh | None = None):
             window_lens = np.concatenate([window_lens, np.repeat(window_lens[-1:], pad)])
 
         inner = partial(
-            chain_dp_forward,
+            inner_fn,
             ins=ins, dele=dele, mismatch=mismatch, match=match,
             max_blocks=max_blocks or windows.shape[1],
         )
