@@ -8,13 +8,26 @@ Layout (chosen so every per-step op is a natural [sublane, lane] vector op —
 Mosaic supports no lane<->sublane shape casts, and dynamic lane indices must
 be 128-aligned):
 
-  - the DP column of BT windows is ONE flat [BT*32, L_pad] int32 tile:
-    sublane r = monomer (r % 32) of window (r // 32), lanes = monomer
-    positions. 24 real monomers pad to 32 rows; padded rows carry NEG and
-    never win any max.
-  - grid = (window_tile, position_tile): each grid step consumes a [BT*32,
-    128] tile of pre-expanded read chars and produces [BT*32, 128] tiles of
-    end-cell scores / start pointers; the 128 positions within a tile are a
+  - the DP column of BT windows is ONE flat [BT*m_pad, L_pad] tile:
+    sublane r = monomer (r % m_pad) of window (r // m_pad), lanes = monomer
+    positions. m_pad is M rounded up to a sublane tile (8); padded rows never
+    win any max. (24 real monomers -> m_pad 24, not 32.)
+  - monomers are RIGHT-ALIGNED in the lane axis: monomer position k of a
+    length-len monomer lives at lane L_pad - len + k, so the END cell of
+    every row is the LAST lane. Extracting the per-position end scores and
+    chain state is then a static lane slice instead of a masked reduction —
+    and reductions are exactly what Mosaic cannot do on narrow types, which
+    unlocks the int16 state. The deletion-cost ramp k*del becomes the
+    per-row ramp (lane - off)*del, precomputed once per grid step; the
+    prefix-max fold is unchanged because a per-row constant shift cancels
+    inside cummax.
+  - the DP state is int16 whenever the score range provably fits (window
+    scores are bounded by (W + L) * max|unit|; see _check_int16_bounds):
+    16-bit lanes halve the VREG count of every ladder op. Falls back to
+    int32 for exotic scoring schemes.
+  - grid = (window_tile, position_tile): each grid step consumes a [R, 128]
+    tile of pre-expanded read chars and produces [R, 128] tiles of end-cell
+    scores / start pointers; the 128 positions within a tile are a
     statically-unrolled loop, so every lane index is static. dp/sp state
     lives in VMEM scratch and persists across position tiles.
   - the same-column deletion fold is a log2(L) shift-and-max ladder along
@@ -40,31 +53,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .chain_dp import block_walk
 
-NEG = np.int32(-(1 << 30))
-M_PAD = 32  # monomer rows per window, padded to a sublane-tile multiple
 POS_TILE = 128  # read positions per grid step (lane-aligned on hardware)
+
+
+def _neg(dtype) -> int:
+    # far below any reachable score, far above the dtype's wrap-around
+    return -(1 << 30) if dtype == jnp.int32 else -(1 << 13)
+
+
+def _check_int16_bounds(W: int, L: int, ins, dele, mismatch, match) -> bool:
+    """int16 state is safe iff no reachable intermediate can leave
+    [-2^15, 2^15): magnitudes are bounded by (W + L)*max|unit| for real
+    scores and by |NEG| + L*max|unit| + one unit for the floor arithmetic."""
+    unit = max(abs(x) for x in (ins, dele, mismatch, match))
+    return (W + L) * unit + (1 << 13) + unit < (1 << 15)
 
 
 def _dp_kernel(
     rc_ref,  # [R, pos_tile] int32 read chars for i = 1 + t*pos_tile + s
-    mono_ref,  # [R, L] int32 monomer codes tiled BT times
-    lens_ref,  # [R, 1] int32 monomer lengths tiled BT times (0 on pad rows)
-    dp0_ref,  # [R, L] int32 init column (i=0)
-    sp0_ref,  # [R, L] int32 init start pointers (all 0)
-    end_out,  # [R, POS_TILE] int32
-    spend_out,  # [R, POS_TILE] int32
-    dp_s,  # scratch [R, L] int32, persists across position tiles
-    sp_s,  # scratch [R, L] int32
+    mono_ref,  # [R, L] int32 monomer codes, right-aligned, tiled BT times
+    lens_ref,  # [R, 1] int32 monomer lengths (0 on pad rows)
+    dp0_ref,  # [R, L] state-dtype init column (i=0)
+    sp0_ref,  # [R, L] state-dtype init start pointers (all 0)
+    end_out,  # [R, POS_TILE] state-dtype
+    spend_out,  # [R, POS_TILE] state-dtype
+    dp_s,  # scratch [R, L] state-dtype, persists across position tiles
+    sp_s,  # scratch [R, L] state-dtype
     *,
     L: int,
     BT: int,
+    m_pad: int,
     pos_tile: int,
     ins: int,
     dele: int,
     mismatch: int,
     match: int,
+    dtype,
 ):
-    R = BT * M_PAD
+    R = BT * m_pad
+    NEG = _neg(dtype)
     t_tile = pl.program_id(1)
 
     @pl.when(t_tile == 0)
@@ -74,8 +101,14 @@ def _dp_kernel(
 
     mono = mono_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
-    end_mask = lane == (lens_ref[...] - 1)  # pad rows: len 0 -> no end cell
-    k_del = lane * dele
+    off = L - lens_ref[...]  # [R, 1] first valid lane (k = 0)
+    valid = lane >= off
+    first = lane == off  # k == 0 column of every row
+    # deletion ramp k*del = (lane - off)*del; any per-row constant may be
+    # added to the fold's offset, so the ladder itself uses the global
+    # lane*del ramp (the off*del term cancels inside the prefix max)
+    k_del = ((lane - off) * dele).astype(dtype)
+    lane_del = (lane * dele).astype(dtype)
     rc_tile = rc_ref[...]  # [R, pos_tile]
 
     def pair_cummax(t, p):
@@ -91,67 +124,81 @@ def _dp_kernel(
             s *= 2
         return t, p
 
-    def extract(dp, sp):
-        end_v = jnp.max(jnp.where(end_mask, dp, NEG), axis=1, keepdims=True)
-        spend_v = jnp.sum(jnp.where(end_mask, sp, 0), axis=1, keepdims=True)
-        return end_v, spend_v  # [R, 1]
-
     def group_max(end_v):
-        # per-window max over each 32-row group, broadcast back to the rows
+        # per-window chain score: max over each m_pad-row group of the [R, 1]
+        # end column (int32 reduce: Mosaic lacks narrow-int reductions)
+        col = end_v.astype(jnp.int32)
         parts = []
         for b in range(BT):
-            seg = end_v[b * M_PAD : (b + 1) * M_PAD, :]
-            parts.append(jnp.full((M_PAD, 1), jnp.max(seg), dtype=jnp.int32))
-        return jnp.concatenate(parts, axis=0)  # [R, 1]
+            seg = col[b * m_pad : (b + 1) * m_pad, :]
+            parts.append(jnp.full((m_pad, 1), jnp.max(seg), dtype=jnp.int32))
+        return jnp.concatenate(parts, axis=0).astype(dtype)  # [R, 1]
 
     dp = dp_s[...]
     sp = sp_s[...]
-    end_prev, _ = extract(dp, sp)
+    end_prev = dp[:, L - 1 : L]  # right-aligned: end cell IS the last lane
 
     for s in range(pos_tile):  # static unroll; all lane indices static
         i = t_tile * pos_tile + s + 1  # global read position (traced scalar)
         rc = rc_tile[:, s : s + 1]  # [R, 1]
-        mm = jnp.where(mono == rc, match, mismatch).astype(jnp.int32)
+        mm = jnp.where(mono == rc, match, mismatch).astype(dtype)
         chain_i = group_max(end_prev)  # [R, 1]
         enter = chain_i + mm + k_del
         dp_sh = pltpu.roll(dp, 1, 1)
-        diag = jnp.where(lane >= 1, dp_sh + mm, NEG)
+        diag = jnp.where(first, NEG, dp_sh + mm)  # no diag into k == 0
         sp_sh = pltpu.roll(sp, 1, 1)
         insr = dp + ins  # unmasked: the k==0 equality check is deliberate
-        cand = jnp.maximum(enter, jnp.maximum(diag, jnp.where(lane >= 1, insr, NEG)))
+        cand = jnp.maximum(enter, jnp.maximum(diag, jnp.where(first, NEG, insr)))
+        cand = jnp.where(valid, cand, NEG)
         # start-pointer candidate with the reference check order (ins, diag,
         # enter; src/main.cpp:245-257); at landing cells dp == cand.
-        candstart = jnp.where(cand == insr, sp, jnp.where(cand == diag, sp_sh, i))
-        tv, sp = pair_cummax(cand - k_del, candstart)
-        dp = tv + k_del
-        end_prev, spend_v = extract(dp, sp)
+        candstart = jnp.where(
+            cand == insr, sp, jnp.where(cand == diag, sp_sh, jnp.asarray(i, dtype))
+        )
+        tv, sp = pair_cummax(cand - lane_del, candstart)
+        dp = tv + lane_del
+        end_prev = dp[:, L - 1 : L]
         end_out[:, s : s + 1] = end_prev
-        spend_out[:, s : s + 1] = spend_v
+        spend_out[:, s : s + 1] = sp[:, L - 1 : L]
 
     dp_s[...] = dp
     sp_s[...] = sp
 
 
-def _init_column(windows, mono_t, lens_t, dele, mismatch, match, BT):
-    """Init column i=0 (src/main.cpp:171-182) as plain jnp; [B_pad*32, L]."""
-    R_all, L = mono_t.shape[0], mono_t.shape[1]
+def _init_column(windows, mono_t, lens_t, dele, mismatch, match, m_pad, dtype):
+    """Init column i=0 (src/main.cpp:171-182) as plain jnp, in the
+    right-aligned layout; [B_pad*m_pad, L]."""
+    L = mono_t.shape[1]
+    NEG = _neg(dtype)
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
-    rc0 = jnp.repeat(windows[:, 0].astype(jnp.int32), M_PAD)[:, None]
-    mm0 = jnp.where(mono_t == rc0, match, mismatch).astype(jnp.int32)
-    cand0 = jnp.where(lane >= 1, (lane - 1) * dele + mm0, mm0)
-    k_del = lane * dele
-    dp0 = jax.lax.cummax(cand0 - k_del, axis=1) + k_del
+    off = L - lens_t  # [rows, 1]
+    valid = lane >= off
+    first = lane == off
+    rc0 = jnp.repeat(windows[:, 0].astype(jnp.int32), m_pad)[:, None]
+    mm0 = jnp.where(mono_t == rc0, match, mismatch).astype(dtype)
+    k_del = ((lane - off) * dele).astype(dtype)
+    base = jnp.where(first, mm0, (k_del - dele) + mm0)  # (k-1)*del + mm
+    cand0 = jnp.where(valid, base, NEG)
+    lane_del = (lane * dele).astype(dtype)
+    dp0 = jax.lax.cummax(cand0 - lane_del, axis=1) + lane_del
     sp0 = jnp.zeros_like(dp0)
-    end_mask = lane == (lens_t - 1)
-    end0 = jnp.max(jnp.where(end_mask, dp0, NEG), axis=1, keepdims=True)
+    end0 = dp0[:, L - 1 :]
     spend0 = jnp.zeros_like(end0)
     return dp0, sp0, end0, spend0
+
+
+def _right_align(rows: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Roll each row right so its length-len prefix ends at the last lane.
+    Rows are PAD_CODE(5)-padded, so the rotated-in tail is pad too."""
+    L = rows.shape[-1]
+    return jax.vmap(lambda r, n: jnp.roll(r, L - n))(rows, lens)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "ins", "dele", "mismatch", "match", "max_blocks", "block_windows", "pos_tile"
+        "ins", "dele", "mismatch", "match", "max_blocks", "block_windows",
+        "pos_tile", "state_dtype",
     ),
 )
 def chain_dp_forward_pallas(
@@ -166,6 +213,7 @@ def chain_dp_forward_pallas(
     max_blocks: int = 0,
     block_windows: int = 4,  # BT: windows per grid step (VMEM-bounded)
     pos_tile: int = POS_TILE,  # keep 128 on hardware (lane alignment)
+    state_dtype: str = "auto",  # "int16" | "int32" | "auto" (int16 if safe)
 ):
     """Drop-in replacement for ops/chain_dp.chain_dp_forward."""
     B, W = windows.shape
@@ -174,41 +222,50 @@ def chain_dp_forward_pallas(
     M, L = mono.shape[-2], mono.shape[-1]
     if max_blocks == 0:
         max_blocks = W
+    L_pad = (L + 127) // 128 * 128
+    if state_dtype == "auto":
+        # int16 state is range-safe for every realistic scoring scheme
+        # (_check_int16_bounds), but the current Mosaic build has no narrow-
+        # int vector ops (rotate/maxsi on i16 fail to legalize), so auto
+        # resolves to int32 until the toolchain catches up.
+        state_dtype = "int32"
+    dtype = jnp.int16 if state_dtype == "int16" else jnp.int32
     BT = min(block_windows, B)
     B_pad = (B + BT - 1) // BT * BT
-    L_pad = (L + 127) // 128 * 128
+    m_pad = max(8, -(-M // 8) * 8)
     nprog = B_pad // BT
-    R = BT * M_PAD
+    R = BT * m_pad
     n_tiles = -(-(W - 1) // pos_tile)
     W_in = 1 + n_tiles * pos_tile
 
     windows_p = jnp.pad(
         windows, ((0, B_pad - B), (0, W_in - W)), constant_values=6
     ).astype(jnp.int32)
-    # read chars for i>=1, expanded over monomer rows: [B_pad*32, W_in-1]
-    rc = jnp.repeat(windows_p[:, 1:], M_PAD, axis=0)
+    # read chars for i>=1, expanded over monomer rows: [B_pad*m_pad, W_in-1]
+    rc = jnp.repeat(windows_p[:, 1:], m_pad, axis=0)
     if per_window:
-        mono_w = jnp.full((B_pad, M_PAD, L_pad), 5, jnp.int8)
+        mono_w = jnp.full((B_pad, m_pad, L_pad), 5, jnp.int8)
         mono_w = mono_w.at[:B, :M, :L].set(mono).astype(jnp.int32)
-        lens_w = jnp.zeros((B_pad, M_PAD, 1), jnp.int32).at[:B, :M, 0].set(mono_lens)
+        lens_w = jnp.zeros((B_pad, m_pad, 1), jnp.int32).at[:B, :M, 0].set(mono_lens)
     else:
         mono_p = (
-            jnp.full((M_PAD, L_pad), 5, jnp.int8).at[:M, :L].set(mono).astype(jnp.int32)
+            jnp.full((m_pad, L_pad), 5, jnp.int8).at[:M, :L].set(mono).astype(jnp.int32)
         )
-        mono_w = jnp.broadcast_to(mono_p[None], (B_pad, M_PAD, L_pad))
+        mono_w = jnp.broadcast_to(mono_p[None], (B_pad, m_pad, L_pad))
         lens_w = jnp.broadcast_to(
-            jnp.zeros((M_PAD, 1), jnp.int32).at[:M, 0].set(mono_lens)[None],
-            (B_pad, M_PAD, 1),
+            jnp.zeros((m_pad, 1), jnp.int32).at[:M, 0].set(mono_lens)[None],
+            (B_pad, m_pad, 1),
         )
-    mono_all = mono_w.reshape(B_pad * M_PAD, L_pad)
-    lens_all = lens_w.reshape(B_pad * M_PAD, 1)
+    mono_all = mono_w.reshape(B_pad * m_pad, L_pad)
+    lens_all = lens_w.reshape(B_pad * m_pad, 1)
+    mono_all = _right_align(mono_all, lens_all[:, 0])
     dp0, sp0, end0, spend0 = _init_column(
-        windows_p, mono_all, lens_all, dele, mismatch, match, BT
+        windows_p, mono_all, lens_all, dele, mismatch, match, m_pad, dtype
     )
 
     kernel = partial(
-        _dp_kernel, L=L_pad, BT=BT, pos_tile=pos_tile,
-        ins=ins, dele=dele, mismatch=mismatch, match=match,
+        _dp_kernel, L=L_pad, BT=BT, m_pad=m_pad, pos_tile=pos_tile,
+        ins=ins, dele=dele, mismatch=mismatch, match=match, dtype=dtype,
     )
     interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
     end_rest, spend_rest = pl.pallas_call(
@@ -226,20 +283,20 @@ def chain_dp_forward_pallas(
             pl.BlockSpec((R, pos_tile), lambda b, t: (b, t), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B_pad * M_PAD, n_tiles * pos_tile), jnp.int32),
-            jax.ShapeDtypeStruct((B_pad * M_PAD, n_tiles * pos_tile), jnp.int32),
+            jax.ShapeDtypeStruct((B_pad * m_pad, n_tiles * pos_tile), dtype),
+            jax.ShapeDtypeStruct((B_pad * m_pad, n_tiles * pos_tile), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, L_pad), jnp.int32),
-            pltpu.VMEM((R, L_pad), jnp.int32),
+            pltpu.VMEM((R, L_pad), dtype),
+            pltpu.VMEM((R, L_pad), dtype),
         ],
         interpret=interpret,
     )(rc, mono_all, lens_all, dp0, sp0)
 
-    end = jnp.concatenate([end0, end_rest], axis=1)[:, :W]
-    spend = jnp.concatenate([spend0, spend_rest], axis=1)[:, :W]
-    # [B_pad*32, W] -> [B, W, 32]; padded monomer rows have end == NEG and
-    # are never chosen by the walk's argmax
-    end = end.reshape(B_pad, M_PAD, W)[:B].transpose(0, 2, 1)
-    spend = spend.reshape(B_pad, M_PAD, W)[:B].transpose(0, 2, 1)
+    end = jnp.concatenate([end0, end_rest], axis=1)[:, :W].astype(jnp.int32)
+    spend = jnp.concatenate([spend0, spend_rest], axis=1)[:, :W].astype(jnp.int32)
+    # [B_pad*m_pad, W] -> [B, W, m_pad]; padded monomer rows carry NEG end
+    # scores (strictly below any real score) so the walk never picks them
+    end = end.reshape(B_pad, m_pad, W)[:B].transpose(0, 2, 1)
+    spend = spend.reshape(B_pad, m_pad, W)[:B].transpose(0, 2, 1)
     return block_walk(end, spend, window_lens, max_blocks)

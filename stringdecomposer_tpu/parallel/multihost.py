@@ -159,8 +159,22 @@ def run_multihost(
     validate_acgtn(monomers_fwd, monomers_path)
     monomers_dp = add_reverse_complement(monomers_fwd)
 
+    from ..pipeline import stage_fingerprint
+
+    fp = stage_fingerprint(
+        sequences_path, monomers_path, scoring, batch_size, overlap, ed_thr
+    )
     frag = fragment_path(out_dir, out_file, topo.host_id)
-    if not (resume and os.path.exists(_sentinel(frag))):
+    resumable = False
+    if resume and os.path.exists(_sentinel(frag)):
+        with open(_sentinel(frag)) as f:
+            resumable = f.read().strip() == fp
+        if not resumable:
+            logger.warning(
+                "--resume: host %d fragment was produced from different "
+                "inputs; recomputing", topo.host_id,
+            )
+    if not resumable:
         ins, dele, mm, match = (int(x) for x in scoring.split(","))
         cfg = PipelineConfig(
             scoring=Scoring(ins, dele, mm, match),
@@ -186,7 +200,7 @@ def run_multihost(
             for r, (_, blocks) in zip(local, result):
                 f.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
         with open(_sentinel(frag), "w") as f:
-            f.write("ok\n")
+            f.write(fp + "\n")
     else:
         logger.info("host %d: fragment exists, resuming past DP stage", topo.host_id)
 

@@ -165,6 +165,28 @@ def decompose_reads(
     return out
 
 
+def stage_fingerprint(
+    sequences_path: str,
+    monomers_path: str,
+    scoring: str,
+    batch_size: int,
+    overlap: int,
+    ed_thr: int,
+) -> str:
+    """Hash of everything the raw DP stage depends on; guards --resume from
+    silently reusing a raw TSV produced from different inputs."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in (sequences_path, monomers_path):
+        with open(p, "rb") as f:
+            while chunk := f.read(1 << 20):
+                h.update(chunk)
+        h.update(b"\x00")
+    h.update(f"{scoring}|{batch_size}|{overlap}|{ed_thr}".encode())
+    return h.hexdigest()
+
+
 def run(
     sequences_path: str,
     monomers_path: str,
@@ -213,13 +235,28 @@ def run(
     )
     monomers_dp = add_reverse_complement(monomers_fwd)  # DP stage order
     raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
-    if resume and os.path.exists(raw_path):
+    stamp_path = raw_path + ".stamp"
+    fp = stage_fingerprint(
+        sequences_path, monomers_path, scoring, batch_size, overlap, ed_thr
+    )
+    stamp_ok = False
+    if resume and os.path.exists(raw_path) and os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            stamp_ok = f.read().strip() == fp
+        if not stamp_ok:
+            logger.warning(
+                "--resume: %s was produced from different inputs; recomputing",
+                raw_path,
+            )
+    if stamp_ok:
         # the raw TSV is the explicit resumable stage boundary (the
         # reference's accidental one, main.py:193-196, made official)
         logger.info("Resuming from existing raw decomposition %s", raw_path)
     else:
         result = decompose_reads(reads, monomers_dp, cfg, forward_fn=forward_fn)
         write_raw_tsv(raw_path, result, [m.name for m in monomers_dp])
+        with open(stamp_path, "w") as f:
+            f.write(fp + "\n")
         logger.info("Saved raw decomposition to %s", raw_path)
 
     # The rescoring stage re-parses the raw TSV — kept as an explicit,

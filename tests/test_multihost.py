@@ -76,6 +76,16 @@ def test_resume_skips_dp(case):
     assert os.path.getmtime(frag) == before  # DP stage skipped
     assert _read(out / "final_decomposition.tsv") == final
 
+    # changed inputs must invalidate the checkpoint despite --resume
+    with open(seqs, "a") as f:
+        f.write(">r4\nACGTACGTACGT\n")
+    for h in [1, 0]:
+        run_multihost(seqs, mono, out_dir=str(out), resume=True,
+                      topology=HostTopology(2, h), **COMMON)
+    assert os.path.getmtime(frag) != before  # fingerprint mismatch -> recompute
+    rows = _read(out / "final_decomposition.tsv").splitlines()
+    assert any(r.startswith("r4\t") for r in rows)
+
 
 @pytest.mark.slow
 def test_concurrent_hosts_via_cli(case):
