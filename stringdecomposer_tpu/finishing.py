@@ -52,9 +52,22 @@ class FinishedBlock:
     reliable: bool
 
 
+def _resolve_identity_kernel():
+    """Fused Pallas kernel on real hardware, lax.scan elsewhere (interpret
+    mode on CPU is far slower than the compiled scan) — same auto rule as
+    the chain-DP backend."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return nw_identity_batch
+    from .ops.identity_pallas import nw_identity_batch_pallas
+
+    return nw_identity_batch_pallas
+
+
 def _batched_identity(pairs_q, pairs_t, chunk=4096, kernel=None):
     """pairs_*: list of np int8 code arrays; returns (matches, totals) int64."""
-    kernel = kernel or nw_identity_batch
+    kernel = kernel or _resolve_identity_kernel()
     P = len(pairs_q)
     matches = np.zeros(P, dtype=np.int64)
     totals = np.zeros(P, dtype=np.int64)
@@ -63,12 +76,12 @@ def _batched_identity(pairs_q, pairs_t, chunk=4096, kernel=None):
         qs = pairs_q[pos : pos + chunk]
         ts = pairs_t[pos : pos + chunk]
         n = len(qs)
-        # round paddings up to 64 to bound the number of distinct compiled
-        # shapes across chunks
+        # round paddings up to 128 (one lane tile) to bound the number of
+        # distinct compiled shapes across chunks
         Lq = max(1, max(len(x) for x in qs))
         Lt = max(1, max(len(x) for x in ts))
-        Lq = (Lq + 63) // 64 * 64
-        Lt = (Lt + 63) // 64 * 64
+        Lq = (Lq + 127) // 128 * 128
+        Lt = (Lt + 127) // 128 * 128
         q = np.full((n, Lq), 7, dtype=np.int8)
         t = np.full((n, Lt), 7, dtype=np.int8)
         ql = np.zeros(n, dtype=np.int32)
@@ -78,7 +91,7 @@ def _batched_identity(pairs_q, pairs_t, chunk=4096, kernel=None):
             ql[i] = len(a)
             t[i, : len(b)] = b
             tl[i] = len(b)
-        _, mt, ln = nw_identity_batch(q, ql, t, tl)
+        _, mt, ln = kernel(q, ql, t, tl)
         matches[pos : pos + n] = np.asarray(mt)
         totals[pos : pos + n] = np.asarray(ln)
         pos += n

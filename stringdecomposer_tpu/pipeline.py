@@ -20,6 +20,7 @@ window batch axis, which is the data-parallel sharding axis on a mesh
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -253,11 +254,17 @@ def run(
         # reference's accidental one, main.py:193-196, made official)
         logger.info("Resuming from existing raw decomposition %s", raw_path)
     else:
+        t0 = time.perf_counter()
         result = decompose_reads(reads, monomers_dp, cfg, forward_fn=forward_fn)
         write_raw_tsv(raw_path, result, [m.name for m in monomers_dp])
         with open(stamp_path, "w") as f:
             f.write(fp + "\n")
-        logger.info("Saved raw decomposition to %s", raw_path)
+        n_blocks = sum(len(b) for _, b in result)
+        dt = time.perf_counter() - t0
+        logger.info(
+            "Saved raw decomposition to %s (%d assignments in %.2fs, %.0f/s)",
+            raw_path, n_blocks, dt, n_blocks / dt if dt > 0 else 0.0,
+        )
 
     # The rescoring stage re-parses the raw TSV — kept as an explicit,
     # resumable stage boundary like the reference (main.py:193-196).
@@ -265,9 +272,11 @@ def run(
         per_read_raw = parse_raw_tsv(f.read())
     monomers_fin = add_rc_interleaved(load_fasta(monomers_path, upper=True))
     reads_by_name = {r.name: r.seq for r in load_fasta(sequences_path, upper=True)}
+    t0 = time.perf_counter()
     finished = finish_reads(
         per_read_raw, reads_by_name, monomers_fin, second_best=second_best
     )
+    logger.info("Rescoring stage finished in %.2fs", time.perf_counter() - t0)
     final_path = os.path.join(out_dir, out_file + ".tsv")
     alt_path = os.path.join(out_dir, out_file + "_alt.tsv")
     write_final_tsv(final_path, alt_path, finished, identity_th=min_identity)
