@@ -134,15 +134,16 @@ def _dp_kernel(
             parts.append(jnp.full((m_pad, 1), jnp.max(seg), dtype=jnp.int32))
         return jnp.concatenate(parts, axis=0).astype(dtype)  # [R, 1]
 
-    dp = dp_s[...]
-    sp = sp_s[...]
-    end_prev = dp[:, L - 1 : L]  # right-aligned: end cell IS the last lane
-
-    for s in range(pos_tile):  # static unroll; all lane indices static
+    def body(s, carry):
+        # fori_loop, not a static unroll (a 128x-unrolled body compiles
+        # pathologically slowly). All lane indices stay static: the
+        # per-position read-char column rides a roll-by-1 carry, and the
+        # per-position end/spend outputs accumulate by shift-left-append.
+        dp, sp, rc_r, endacc, spendacc = carry
         i = t_tile * pos_tile + s + 1  # global read position (traced scalar)
-        rc = rc_tile[:, s : s + 1]  # [R, 1]
+        rc = rc_r[:, :1]  # [R, 1]
         mm = jnp.where(mono == rc, match, mismatch).astype(dtype)
-        chain_i = group_max(end_prev)  # [R, 1]
+        chain_i = group_max(dp[:, L - 1 : L])  # end cell IS the last lane
         enter = chain_i + mm + k_del
         dp_sh = pltpu.roll(dp, 1, 1)
         diag = jnp.where(first, NEG, dp_sh + mm)  # no diag into k == 0
@@ -157,10 +158,17 @@ def _dp_kernel(
         )
         tv, sp = pair_cummax(cand - lane_del, candstart)
         dp = tv + lane_del
-        end_prev = dp[:, L - 1 : L]
-        end_out[:, s : s + 1] = end_prev
-        spend_out[:, s : s + 1] = sp[:, L - 1 : L]
+        endacc = jnp.concatenate([endacc[:, 1:], dp[:, L - 1 :]], axis=1)
+        spendacc = jnp.concatenate([spendacc[:, 1:], sp[:, L - 1 :]], axis=1)
+        return dp, sp, pltpu.roll(rc_r, pos_tile - 1, 1), endacc, spendacc
 
+    dp, sp, _, endacc, spendacc = jax.lax.fori_loop(
+        0, pos_tile, body,
+        (dp_s[...], sp_s[...], rc_tile,
+         jnp.zeros((R, pos_tile), dtype), jnp.zeros((R, pos_tile), dtype)),
+    )
+    end_out[...] = endacc
+    spend_out[...] = spendacc
     dp_s[...] = dp
     sp_s[...] = sp
 
@@ -211,7 +219,7 @@ def chain_dp_forward_pallas(
     mismatch: int = -1,
     match: int = 1,
     max_blocks: int = 0,
-    block_windows: int = 4,  # BT: windows per grid step (VMEM-bounded)
+    block_windows: int = 24,  # BT: windows per grid step (VMEM-bounded)
     pos_tile: int = POS_TILE,  # keep 128 on hardware (lane alignment)
     state_dtype: str = "auto",  # "int16" | "int32" | "auto" (int16 if safe)
 ):
