@@ -104,8 +104,61 @@ def finish_reads(
     monomers_interleaved: list[Record],
     second_best: bool = False,
     model_file: str | None = None,
+    flush_pairs: int = 1 << 20,
 ) -> list[tuple[str, list[FinishedBlock]]]:
-    """Rescore every block; returns finished blocks per read, same order."""
+    """Rescore every block; returns finished blocks per read, same order.
+
+    Memory is bounded: reads accumulate into the flat pair batch only until
+    `flush_pairs` pairs are pending, then the batch is scored and finished —
+    a 100 Mbp assembly streams through in ~1M-pair bites instead of
+    materializing ~30M encoded pairs at once."""
+    out: list[tuple[str, list[FinishedBlock]]] = []
+    group: list[tuple[str, list[dict]]] = []
+    pending = 0
+    M = len(monomers_interleaved)
+    stride = 2 * M if second_best else 1
+    max_blocks = max(1, flush_pairs // stride)
+
+    def flush():
+        nonlocal group, pending
+        if group:
+            out.extend(
+                _finish_group(group, reads_by_name, monomers_interleaved,
+                              second_best, model_file)
+            )
+            group, pending = [], 0
+
+    for read_name, blocks in per_read_blocks:
+        # a single centromere-scale "read" is split too: adjacent same-name
+        # groups concatenate to identical output bytes, and the classifier
+        # is row-wise, so block-level splitting is observationally safe
+        for s in range(0, max(len(blocks), 1), max_blocks):
+            chunk = blocks[s : s + max_blocks]
+            group.append((read_name, chunk))
+            pending += len(chunk) * stride
+            if pending >= flush_pairs:
+                flush()
+    flush()
+    # re-merge split reads so callers see one group per input read
+    merged: list[tuple[str, list[FinishedBlock]]] = []
+    gi = 0
+    for read_name, blocks in per_read_blocks:
+        fblocks: list[FinishedBlock] = []
+        need = max(1, -(-max(len(blocks), 1) // max_blocks))
+        for _ in range(need):
+            fblocks.extend(out[gi][1])
+            gi += 1
+        merged.append((read_name, fblocks))
+    return merged
+
+
+def _finish_group(
+    per_read_blocks: list[tuple[str, list[dict]]],
+    reads_by_name: dict[str, str],
+    monomers_interleaved: list[Record],
+    second_best: bool,
+    model_file: str | None,
+) -> list[tuple[str, list[FinishedBlock]]]:
     mono_names = [m.name for m in monomers_interleaved]
     name_to_idx = {n: i for i, n in enumerate(mono_names)}
     M = len(mono_names)
@@ -116,12 +169,9 @@ def finish_reads(
     # ---- build the flat pair batch ----
     pairs_q: list[np.ndarray] = []
     pairs_t: list[np.ndarray] = []
-    meta: list[tuple[int, int]] = []  # (block_global_idx, stride info implicit)
-    blocks_flat: list[tuple[str, dict]] = []
     for read_name, blocks in per_read_blocks:
         seq = reads_by_name[read_name]
         for d in blocks:
-            blocks_flat.append((read_name, d))
             sub = seq[d["start"] : d["end"] + 1]
             sub_codes = encode(sub)
             if second_best:
@@ -141,7 +191,6 @@ def finish_reads(
 
     # ---- per-block host logic (main.py:107-150) ----
     out: list[tuple[str, list[FinishedBlock]]] = []
-    flat_idx = 0
     bi = 0
     for read_name, blocks in per_read_blocks:
         fblocks: list[FinishedBlock] = []
