@@ -101,54 +101,77 @@ def decompose_reads(
     # 3.+4. device forward + host replay, in fixed-size batches. Dispatch is
     # asynchronous (JAX queues the device work); a bounded in-flight window
     # lets host-side input prep and block replay overlap device compute.
+    # Windows are BUCKETED by padded width so short reads / tail windows pad
+    # to the next 512 boundary instead of the full window size (kernel
+    # bodies are fori_loops, so each bucket's compile is seconds and cached).
     sc = cfg.scoring
-    per_window_blocks: list[list[Block]] = []
+    per_window_blocks: list[list[Block] | None] = [None] * len(tasks)
     B = cfg.device_batch
     M, L = mono.shape
     MAX_INFLIGHT = 4
-    inflight: list[tuple[list[WindowTask], object, object, list | None]] = []
+    inflight: list[tuple[list[int], object, object, list | None]] = []
 
     def drain(one: bool) -> None:
         while inflight and (len(inflight) >= MAX_INFLIGHT if one else True):
-            batch, blocks_dev, counts_dev, perms = inflight.pop(0)
+            tidxs, blocks_dev, counts_dev, perms = inflight.pop(0)
             blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
-            for b, t in enumerate(batch):
+            for b, ti_ in enumerate(tidxs):
                 blocks = blocks_from_device(blocks_arr[b], counts[b])
                 if perms is not None:  # map filtered row -> original index
                     for blk in blocks:
                         blk.monomer = int(perms[b][blk.monomer])
-                per_window_blocks.append(blocks)
+                per_window_blocks[ti_] = blocks
 
-    for s in range(0, len(tasks), B):
-        batch = tasks[s : s + B]
-        wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
-        while len(wins) < B:  # pad the tail batch to the static shape
-            wins.append(wins[-1])
-        wbatch, wlens = build_window_batch(wins, W)
-        perms = None
-        if cfg.ed_thr > -1:
-            # per-chunk monomer pre-filter (src/main.cpp:128-149): subset and
-            # (distance, index) ordering are tie-breaking-relevant
-            from .ops.hw_filter import filter_monomers, hw_distance_batch
+    # geometric levels (W, W/2, W/4, ... >= 512): a tail window lands in the
+    # full-width bucket instead of fragmenting the batch, while genuinely
+    # short reads stop paying for full-width padding (~2x waste worst case)
+    levels = [W]
+    while levels[-1] // 2 >= 512:
+        levels.append(levels[-1] // 2)
 
-            dist = np.asarray(hw_distance_batch(wbatch, wlens, mono, mono_lens))
-            mono_b = np.full((B, M, L), 5, dtype=np.int8)
-            lens_b = np.zeros((B, M), dtype=np.int32)
-            perms = []
-            for b in range(B):
-                keep = filter_monomers(dist[b], cfg.ed_thr)
-                mono_b[b, : len(keep)] = mono[keep]
-                lens_b[b, : len(keep)] = mono_lens[keep]
-                perms.append(keep)
-            fwd_mono, fwd_lens = mono_b, lens_b
-        else:
-            fwd_mono, fwd_lens = mono, mono_lens
-        blocks_dev, counts_dev = forward_fn(
-            wbatch, wlens, fwd_mono, fwd_lens,
-            ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match,
-        )
-        inflight.append((batch, blocks_dev, counts_dev, perms))
-        drain(one=True)
+    def bucket_of(length: int) -> int:
+        for lv in reversed(levels):  # smallest sufficient level
+            if length <= lv:
+                return lv
+        return W
+
+    buckets: dict[int, list[int]] = {}
+    for ti_, t in enumerate(tasks):
+        buckets.setdefault(bucket_of(t.length), []).append(ti_)
+
+    for W_b in sorted(buckets):
+        order = buckets[W_b]
+        for s in range(0, len(order), B):
+            tidxs = order[s : s + B]
+            batch = [tasks[ti_] for ti_ in tidxs]
+            wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
+            while len(wins) < B:  # pad the tail batch to the static shape
+                wins.append(wins[-1])
+            wbatch, wlens = build_window_batch(wins, W_b)
+            perms = None
+            if cfg.ed_thr > -1:
+                # per-chunk monomer pre-filter (src/main.cpp:128-149): subset
+                # and (distance, index) ordering are tie-breaking-relevant
+                from .ops.hw_filter import filter_monomers, hw_distance_batch
+
+                dist = np.asarray(hw_distance_batch(wbatch, wlens, mono, mono_lens))
+                mono_b = np.full((B, M, L), 5, dtype=np.int8)
+                lens_b = np.zeros((B, M), dtype=np.int32)
+                perms = []
+                for b in range(B):
+                    keep = filter_monomers(dist[b], cfg.ed_thr)
+                    mono_b[b, : len(keep)] = mono[keep]
+                    lens_b[b, : len(keep)] = mono_lens[keep]
+                    perms.append(keep)
+                fwd_mono, fwd_lens = mono_b, lens_b
+            else:
+                fwd_mono, fwd_lens = mono, mono_lens
+            blocks_dev, counts_dev = forward_fn(
+                wbatch, wlens, fwd_mono, fwd_lens,
+                ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match,
+            )
+            inflight.append((tidxs, blocks_dev, counts_dev, perms))
+            drain(one=True)
     drain(one=False)
 
     # 5. merge per read in input order, shift to global coords, dedup
