@@ -31,3 +31,28 @@ def test_pallas_matches_scan(random_cases, bt):
         )
         for x, y, nm in zip(a, b, ["blocks", "counts"]):
             assert np.array_equal(np.asarray(x), np.asarray(y)), (ci, nm)
+
+
+def test_pallas_per_window_monomers(random_cases):
+    """The ed_thr filter hands the kernel a per-window [B, M, L] monomer
+    tensor with rows reordered/masked per window (src/main.cpp:135-149)."""
+    case = random_cases[0]
+    monomers = add_reverse_complement([Record(n, s) for n, s in case["monomers"]])
+    mono, lens = pad_monomers(
+        monomers, pad_to=(max(len(m.seq) for m in monomers) + 7) // 8 * 8
+    )
+    seq = case.get("read") or case["reads"][1][1]
+    wins = [encode(seq[:60]), encode(seq[:37]), encode(seq[:64])]
+    wb, wl = build_window_batch(wins, 64)
+    B, M, L = len(wins), mono.shape[0], mono.shape[1]
+    rng = np.random.default_rng(0)
+    mono_b = np.full((B, M, L), 5, dtype=np.int8)
+    lens_b = np.zeros((B, M), dtype=np.int32)
+    for b in range(B):
+        keep = rng.permutation(M)[: M - b]  # different subset per window
+        mono_b[b, : len(keep)] = mono[keep]
+        lens_b[b, : len(keep)] = lens[keep]
+    a = chain_dp_forward(wb, wl, mono_b, lens_b)
+    b = chain_dp_forward_pallas(wb, wl, mono_b, lens_b, block_windows=2, pos_tile=16)
+    for x, y, nm in zip(a, b, ["blocks", "counts"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), nm
