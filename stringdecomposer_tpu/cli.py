@@ -74,11 +74,62 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="reuse existing raw-TSV fragments/checkpoints "
                    "instead of recomputing the DP stage")
+    p.add_argument("--serve", action="store_true",
+                   help="serving mode: read one job per stdin line "
+                   "(same arguments, no program name), keep kernels warm "
+                   "across jobs, emit one JSON status line per job")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--serve" in argv:
+        argv.remove("--serve")
+        return serve(argv)
     args = build_parser().parse_args(argv)
+    return _execute(args)
+
+
+def serve(default_argv: list[str]) -> int:
+    """Serving mode: one warm process, jobs streamed on stdin.
+
+    Each line is a CLI invocation without the program name
+    (`seqs.fa monomers.fa -o out [flags...]`); flags passed alongside
+    --serve apply to every job. One JSON status line per job on stdout.
+    Compiled kernels stay warm across jobs, so steady-state latency is the
+    device time, not the cold-start compile.
+    """
+    import json
+    import shlex
+
+    parser = build_parser()
+    for line in sys.stdin:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        try:
+            args = parser.parse_args(shlex.split(line) + default_argv)
+            rc = _execute(args)
+            print(
+                json.dumps(
+                    {
+                        "status": "ok" if rc == 0 else "error",
+                        "rc": rc,
+                        "final": os.path.join(args.out_dir, args.out_file + ".tsv"),
+                    }
+                ),
+                flush=True,
+            )
+        except SystemExit as e:  # argparse error on this job line
+            print(json.dumps({"status": "error", "rc": int(e.code or 2),
+                              "error": "bad arguments"}), flush=True)
+        except Exception as e:  # noqa: BLE001 - keep serving
+            print(json.dumps({"status": "error", "rc": 1, "error": str(e)}),
+                  flush=True)
+    return 0
+
+
+def _execute(args) -> int:
     pathlib.Path(args.out_dir).mkdir(parents=True, exist_ok=True)
 
     from .utils.logging import get_logger

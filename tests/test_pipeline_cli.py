@@ -67,6 +67,33 @@ def test_cli_invalid_symbol(tmp_path):
     assert rc == 255  # reference binary exit(-1) semantics
 
 
+def test_serve_mode(tiny_case):
+    """--serve: one warm process, one job per stdin line, JSON per job."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    seqs, mono, out = tiny_case
+    jobs = (
+        f"{seqs} {mono} -o {out}/j1 -b 16 -v 4 --device-batch 2\n"
+        f"{seqs} {mono} -o {out}/j2 -b 16 -v 4 --device-batch 2 --out-file x\n"
+        f"missing.fa {mono} -o {out}/j3\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [_sys.executable, "-m", "stringdecomposer_tpu", "--serve"],
+        input=jobs.encode(), capture_output=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr.decode()
+    lines = [
+        json.loads(ln) for ln in res.stdout.decode().splitlines()
+        if ln.startswith("{")
+    ]
+    assert [x["status"] for x in lines] == ["ok", "ok", "error"]
+    assert os.path.exists(os.path.join(out, "j1", "final_decomposition.tsv"))
+    assert os.path.exists(os.path.join(out, "j2", "x.tsv"))
+
+
 @pytest.mark.slow
 def test_golden_final_tsv(test_data_dir, tmp_path):
     """The reference repo's golden test (Makefile:16-19): --second-best run on
