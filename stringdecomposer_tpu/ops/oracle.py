@@ -236,7 +236,20 @@ def postprocess(blocks: list[Block]) -> list[Block]:
     """Halo-duplicate suppression (src/main.cpp:287-302): within a look-ahead
     of 6 blocks, if block i covers more than half of block j, keep i, skip
     j..j (i jumps to j+1) — exact transcription including the quirk that the
-    landing block j+1 is emitted without its own overlap check."""
+    landing block j+1 is emitted without its own overlap check.
+
+    Centromere-scale block lists take the native C++ path (bit-identical,
+    tested in tests/test_native.py); short lists stay in Python."""
+    if len(blocks) > 1024:
+        from ..runtime.native import postprocess_native
+
+        arr = np.array(
+            [[b.monomer, b.start, b.end, int(b.identity)] for b in blocks],
+            dtype=np.int32,
+        )
+        keep = postprocess_native(arr)
+        if keep is not None:
+            return [b for b, k in zip(blocks, keep) if k]
     res: list[Block] = []
     i = 0
     nb = len(blocks)
