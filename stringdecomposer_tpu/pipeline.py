@@ -152,9 +152,9 @@ def decompose_reads(
             if cfg.ed_thr > -1:
                 # per-chunk monomer pre-filter (src/main.cpp:128-149): subset
                 # and (distance, index) ordering are tie-breaking-relevant
-                from .ops.hw_filter import filter_monomers, hw_distance_batch
+                from .ops.hw_filter import filter_monomers, resolve_hw_distance
 
-                dist = np.asarray(hw_distance_batch(wbatch, wlens, mono, mono_lens))
+                dist = np.asarray(resolve_hw_distance()(wbatch, wlens, mono, mono_lens))
                 mono_b = np.full((B, M, L), 5, dtype=np.int8)
                 lens_b = np.zeros((B, M), dtype=np.int32)
                 perms = []
