@@ -1,9 +1,8 @@
 """Persistent XLA compilation cache.
 
-The fused Pallas chain-DP kernel takes minutes to compile cold (the
-statically-unrolled position tile is ~10k vector ops); with the persistent
-cache a fresh process reloads it in seconds. Enabled once per process by the
-pipeline entry points."""
+Cold compiles of the fused Pallas kernels take tens of seconds to minutes;
+with the persistent cache a fresh process reloads them in seconds. Enabled
+once per process by the pipeline entry points."""
 
 from __future__ import annotations
 
