@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="stringdecomposer-tpu",
         description="Decomposes string into blocks alphabet (TPU-native)",
     )
+    from .__version__ import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"stringdecomposer-tpu {__version__}")
     p.add_argument("sequences", help="fasta-file with long reads or genomic sequences")
     p.add_argument("monomers", help="fasta-file with monomers")
     p.add_argument(

@@ -150,6 +150,15 @@ def run_multihost(
     if coordinator is not None:
         initialize_distributed(coordinator, num_processes, process_id)
         topology = detect_topology()
+        if (num_processes or 1) > 1 and topology.num_hosts == 1:
+            # runtimes that cannot aggregate processes into one device view
+            # still gave us a working coordination barrier; fall back to the
+            # explicit topology so hosts never race on the same fragment
+            logger.warning(
+                "jax.distributed reports a single process; using explicit "
+                "topology %s/%s", process_id, num_processes,
+            )
+            topology = HostTopology(num_processes, process_id or 0)
     topo = topology or HostTopology()
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
 

@@ -107,9 +107,43 @@ def test_concurrent_hosts_via_cli(case):
         for h in range(3)
     ]
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, err.decode()
 
     for name in ["final_decomposition_raw.tsv", "final_decomposition.tsv",
                  "final_decomposition_alt.tsv"]:
         assert _read(multi / name) == _read(single / name), name
+
+
+@pytest.mark.slow
+def test_coordinator_path(case):
+    """--coordinator: jax.distributed bring-up + explicit-topology fallback
+    when the runtime cannot aggregate processes."""
+    import socket
+
+    seqs, mono, tmp = case
+    single = tmp / "c_single"
+    multi = tmp / "c_multi"
+    run_single(seqs, mono, out_dir=str(single), **COMMON)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "stringdecomposer_tpu", seqs, mono,
+             "-o", str(multi), "-b", "16", "-v", "4", "--device-batch", "2",
+             "--second-best", "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--host-id", str(h)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for h in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err.decode()
+    assert (multi / "final_decomposition_raw.shard00001.tsv").exists()
+    assert _read(multi / "final_decomposition.tsv") == _read(
+        single / "final_decomposition.tsv"
+    )
