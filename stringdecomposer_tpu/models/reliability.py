@@ -78,3 +78,45 @@ def train_logreg(
 def save_coefficients(coef: np.ndarray, path: str) -> None:
     with open(path, "w") as f:
         f.write(" ".join(f"{c:.8f}" for c in coef) + "\n")
+
+
+def main(argv=None) -> int:
+    """Refit the reliability model from labeled blocks.
+
+    Usage:
+        python -m stringdecomposer_tpu.models.reliability data.tsv out.txt
+
+    data.tsv rows: identity <TAB> second_best_identity <TAB> label
+    (label: '+'/'1' reliable, '?'/'0' unreliable — the final-TSV columns 5,
+    7 and 12 of a curated run produce this directly).
+    """
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 2:
+        print(main.__doc__)
+        return 2
+    feats, labels = [], []
+    with open(argv[0]) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            idnt, second, label = ln.rstrip("\n").split("\t")[:3]
+            idnt, second = float(idnt), float(second)
+            feats.append([idnt, idnt - second])
+            labels.append(1.0 if label in ("+", "1") else 0.0)
+    import numpy as _np
+
+    coef = train_logreg(_np.asarray(feats), _np.asarray(labels))
+    save_coefficients(coef, argv[1])
+    acc = (classify(_np.asarray(feats)[:, 0],
+                    _np.asarray(feats)[:, 0] - _np.asarray(feats)[:, 1],
+                    coef) == (_np.asarray(labels) > 0.5)).mean()
+    print(f"saved {argv[1]}; train accuracy {acc:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -61,3 +61,25 @@ def test_device_batch_does_not_change_output():
     assert [(n, [tuple(vars(x).values()) for x in bl]) for n, bl in a] == [
         (n, [tuple(vars(x).values()) for x in bl]) for n, bl in b
     ]
+
+
+def test_reliability_trainer_roundtrip(tmp_path):
+    """models.reliability CLI: refit coefficients that separate a linearly
+    separable labeled set, file format identical to the shipped model."""
+    from stringdecomposer_tpu.models.reliability import classify, load_coefficients, main
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(400):
+        idnt = rng.uniform(50, 100)
+        diff = rng.uniform(0, 20)
+        label = "+" if (idnt + diff) > 95 else "?"
+        rows.append(f"{idnt:.2f}\t{idnt - diff:.2f}\t{label}\n")
+    data = tmp_path / "train.tsv"
+    data.write_text("".join(rows))
+    out = tmp_path / "model.txt"
+    assert main([str(data), str(out)]) == 0
+    coef = load_coefficients(str(out))
+    assert coef.shape == (3,)
+    got = classify(np.array([99.0, 60.0]), np.array([80.0, 59.0]), coef)
+    assert got[0] and not got[1]
