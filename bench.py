@@ -32,7 +32,7 @@ def main() -> int:
 
     reads = load_fasta(os.path.join(data, "read.fa"))
     monomers = add_reverse_complement(load_fasta(os.path.join(data, "DXZ1_star_monomers.fa")))
-    cfg = PipelineConfig(device_batch=19)
+    cfg = PipelineConfig(device_batch=24)
 
     # correctness gate: byte equality with the reference raw decomposition
     result = decompose_reads(reads, monomers, cfg)  # also warms the compile cache
@@ -49,7 +49,7 @@ def main() -> int:
     n_assignments = len(rows)
 
     # throughput: repeat the read to saturate the device batch
-    REP = 8
+    REP = 16
     reps = max(1, REP)
     big_reads = reads * reps
     decompose_reads(big_reads, monomers, cfg)  # warm any new shapes
