@@ -32,7 +32,7 @@ def main() -> int:
 
     reads = load_fasta(os.path.join(data, "read.fa"))
     monomers = add_reverse_complement(load_fasta(os.path.join(data, "DXZ1_star_monomers.fa")))
-    cfg = PipelineConfig(device_batch=24)
+    cfg = PipelineConfig(device_batch=152)
 
     # correctness gate: byte equality with the reference raw decomposition
     result = decompose_reads(reads, monomers, cfg)  # also warms the compile cache

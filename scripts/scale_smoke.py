@@ -41,7 +41,7 @@ def main() -> int:
     from stringdecomposer_tpu.pipeline import PipelineConfig, decompose_reads
 
     mbp = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
-    device_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    device_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 152
     data = os.path.join(here, "stringdecomposer_tpu", "test_data")
     monomers_fwd = load_fasta(os.path.join(data, "DXZ1_star_monomers.fa"))
     monomers = add_reverse_complement(monomers_fwd)

@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--overlap", type=str, default="500", required=False,
                    help="window overlap (halo) size (by default 500)")
     # --- TPU-native additions ---
-    p.add_argument("--device-batch", type=int, default=16,
+    p.add_argument("--device-batch", type=int, default=64,
                    help="windows per device step (data-parallel batch)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the window batch across all visible devices")

@@ -45,7 +45,7 @@ class PipelineConfig:
     scoring: Scoring = field(default_factory=Scoring)
     part_size: int = 5000
     overlap: int = 500
-    device_batch: int = 16  # windows per device call
+    device_batch: int = 64  # windows per device call (raise on big chips)
     ed_thr: int = -1
     backend: str = "auto"  # "pallas" | "scan" | "auto" (pallas on TPU)
 
@@ -113,8 +113,14 @@ def decompose_reads(
 
     def drain(one: bool) -> None:
         while inflight and (len(inflight) >= MAX_INFLIGHT if one else True):
-            tidxs, blocks_dev, counts_dev, perms = inflight.pop(0)
+            tidxs, blocks_dev, counts_dev, perms, redo = inflight.pop(0)
             blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
+            if counts.max() > blocks_arr.shape[1]:
+                # the transfer-size cap was too small for a pathological
+                # window (counts overflow is detectable: the walk keeps
+                # counting past the array) — recompute this batch unclamped
+                blocks_dev, counts_dev = redo()
+                blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
             for b, ti_ in enumerate(tidxs):
                 blocks = blocks_from_device(blocks_arr[b], counts[b])
                 if perms is not None:  # map filtered row -> original index
@@ -166,11 +172,20 @@ def decompose_reads(
                 fwd_mono, fwd_lens = mono_b, lens_b
             else:
                 fwd_mono, fwd_lens = mono, mono_lens
+            # cap the per-window block records shipped to the host: real
+            # windows produce ~W/170 blocks, so W-sized records are ~97%
+            # padding over a (slow) host link; overflow is detected and
+            # recomputed unclamped in drain()
+            cap = min(W_b, max(256, W_b // 8))
+            kw = dict(ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match)
             blocks_dev, counts_dev = forward_fn(
-                wbatch, wlens, fwd_mono, fwd_lens,
-                ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match,
+                wbatch, wlens, fwd_mono, fwd_lens, max_blocks=cap, **kw
             )
-            inflight.append((tidxs, blocks_dev, counts_dev, perms))
+
+            def redo(wb_=wbatch, wl_=wlens, fm=fwd_mono, fl=fwd_lens, kw_=kw):
+                return forward_fn(wb_, wl_, fm, fl, **kw_)
+
+            inflight.append((tidxs, blocks_dev, counts_dev, perms, redo))
             drain(one=True)
     drain(one=False)
 
@@ -222,7 +237,7 @@ def run(
     overlap: int = 500,
     second_best: bool = False,
     ed_thr: int = -1,
-    device_batch: int = 16,
+    device_batch: int = 64,
     forward_fn=None,
     resume: bool = False,
 ) -> str:

@@ -83,3 +83,18 @@ def test_reliability_trainer_roundtrip(tmp_path):
     assert coef.shape == (3,)
     got = classify(np.array([99.0, 60.0]), np.array([80.0, 59.0]), coef)
     assert got[0] and not got[1]
+
+
+def test_block_record_cap_overflow_recovers():
+    """Pathological windows (tiny monomer, long run) overflow the capped
+    per-window block records; the pipeline must detect and recompute."""
+    read = "T" * 3000
+    cfg = PipelineConfig(part_size=3000, overlap=8, device_batch=1)
+    res = decompose_reads(
+        [Record("r", read)],
+        add_reverse_complement([Record("m", "TTTT")]),
+        cfg,
+    )
+    blocks = res[0][1]
+    assert len(blocks) == 750  # 3000 / 4: every block emitted, none dropped
+    assert blocks[0].start == 0 and blocks[-1].end == 2999
