@@ -98,6 +98,58 @@ def _batched_identity(pairs_q, pairs_t, chunk=4096, kernel=None):
     return matches, totals
 
 
+def _blocks_x_monomers(
+    blocks: list[np.ndarray],  # Nb encoded block substrings
+    targets: list[np.ndarray],  # M encoded monomer variants
+    kernel=None,
+    block_chunk: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matches, totals) int64 arrays of shape [Nb, M] for every
+    (block, monomer) combination. Blocks and monomers are uploaded once;
+    the cross-product expansion runs on device."""
+    import jax.numpy as jnp
+
+    kernel = kernel or _resolve_identity_kernel()
+    Nb, M = len(blocks), len(targets)
+    matches = np.zeros((Nb, M), dtype=np.int64)
+    totals = np.zeros((Nb, M), dtype=np.int64)
+    if Nb == 0:
+        return matches, totals
+    t, tl = _pad_codes(targets)
+    td, tld = jnp.asarray(t), jnp.asarray(tl)
+    Lq_all = max(1, max(len(b) for b in blocks))
+    Lq_all = (Lq_all + 127) // 128 * 128
+    bc = min(block_chunk, -(-Nb // 8) * 8)
+    for s in range(0, Nb, bc):
+        part = blocks[s : s + bc]
+        q = np.zeros((bc, Lq_all), dtype=np.int8)  # pad rows: len-0 queries
+        ql = np.zeros(bc, dtype=np.int32)
+        for i, b in enumerate(part):
+            q[i, : len(b)] = b
+            ql[i] = len(b)
+        qd, qld = jnp.asarray(q), jnp.asarray(ql)
+        qs = jnp.repeat(qd, M, axis=0)
+        qls = jnp.repeat(qld, M)
+        ts = jnp.tile(td, (bc, 1))
+        tls = jnp.tile(tld, bc)
+        _, mt, ln = kernel(qs, qls, ts, tls)
+        n = len(part)
+        matches[s : s + n] = np.asarray(mt).reshape(bc, M)[:n]
+        totals[s : s + n] = np.asarray(ln).reshape(bc, M)[:n]
+    return matches, totals
+
+
+def _pad_codes(codes: list[np.ndarray], mult: int = 128) -> tuple[np.ndarray, np.ndarray]:
+    L = max(1, max((len(c) for c in codes), default=1))
+    L = (L + mult - 1) // mult * mult
+    arr = np.zeros((len(codes), L), dtype=np.int8)
+    lens = np.zeros(len(codes), dtype=np.int32)
+    for i, c in enumerate(codes):
+        arr[i, : len(c)] = c
+        lens[i] = len(c)
+    return arr, lens
+
+
 def finish_reads(
     per_read_blocks: list[tuple[str, list[dict]]],  # [(read_name, [{m,start,end}])]
     reads_by_name: dict[str, str],  # name -> sequence (uppercase)
@@ -166,28 +218,30 @@ def _finish_group(
     homo_codes = [encode(homo_compress(m.seq)) for m in monomers_interleaved]
     coef = load_coefficients(model_file)
 
-    # ---- build the flat pair batch ----
-    pairs_q: list[np.ndarray] = []
-    pairs_t: list[np.ndarray] = []
+    # ---- score all (block, monomer) pairs ----
+    subs: list[np.ndarray] = []
+    homo_subs: list[np.ndarray] = []
     for read_name, blocks in per_read_blocks:
         seq = reads_by_name[read_name]
         for d in blocks:
             sub = seq[d["start"] : d["end"] + 1]
-            sub_codes = encode(sub)
+            subs.append(encode(sub))
             if second_best:
-                homo_sub = encode(homo_compress(sub))
-                for j in range(M):
-                    pairs_q.append(sub_codes)
-                    pairs_t.append(mono_codes[j])
-                for j in range(M):
-                    pairs_q.append(homo_sub)
-                    pairs_t.append(homo_codes[j])
-            else:
-                pairs_q.append(sub_codes)
-                pairs_t.append(mono_codes[name_to_idx[d["m"]]])
+                homo_subs.append(encode(homo_compress(sub)))
 
-    matches, totals = _batched_identity(pairs_q, pairs_t)
-    stride = 2 * M if second_best else 1
+    if second_best:
+        # blocks upload once; the M-fold pair expansion happens ON DEVICE
+        # (jnp.repeat/tile), so host->device traffic is 2*M times smaller
+        # than shipping explicit pairs
+        mt_raw, ln_raw = _blocks_x_monomers(subs, mono_codes)
+        mt_homo, ln_homo = _blocks_x_monomers(homo_subs, homo_codes)
+    else:
+        pairs_t = []
+        bi = 0
+        for read_name, blocks in per_read_blocks:
+            for d in blocks:
+                pairs_t.append(mono_codes[name_to_idx[d["m"]]])
+        matches, totals = _batched_identity(subs, pairs_t)
 
     # ---- per-block host logic (main.py:107-150) ----
     out: list[tuple[str, list[FinishedBlock]]] = []
@@ -195,9 +249,8 @@ def _finish_group(
     for read_name, blocks in per_read_blocks:
         fblocks: list[FinishedBlock] = []
         for d in blocks:
-            base = bi * stride
             if not second_best:
-                score = aai_from_counts(matches[base], totals[base])
+                score = aai_from_counts(matches[bi], totals[bi])
                 fblocks.append(
                     FinishedBlock(
                         d["m"], d["start"], d["end"], score,
@@ -206,11 +259,10 @@ def _finish_group(
                 )
             else:
                 scores = [
-                    aai_from_counts(matches[base + j], totals[base + j]) for j in range(M)
+                    aai_from_counts(mt_raw[bi, j], ln_raw[bi, j]) for j in range(M)
                 ]
                 homo_scores = [
-                    aai_from_counts(matches[base + M + j], totals[base + M + j])
-                    for j in range(M)
+                    aai_from_counts(mt_homo[bi, j], ln_homo[bi, j]) for j in range(M)
                 ]
                 best = d["m"]
                 best_idx = name_to_idx[best]
