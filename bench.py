@@ -49,7 +49,7 @@ def main() -> int:
     n_assignments = len(rows)
 
     # throughput: repeat the read to saturate the device batch
-    REP = 16
+    REP = 32
     reps = max(1, REP)
     big_reads = reads * reps
     decompose_reads(big_reads, monomers, cfg)  # warm any new shapes
