@@ -14,7 +14,7 @@ from functools import partial
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8 (check_vma superseded check_rep)
     from jax import shard_map as _shard_map

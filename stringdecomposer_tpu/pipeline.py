@@ -150,8 +150,11 @@ def decompose_reads(
         for s in range(0, len(order), B):
             tidxs = order[s : s + B]
             batch = [tasks[ti_] for ti_ in tidxs]
+            # right-size the tail batch (granularity 24 = one kernel window
+            # group): a single-read job runs 24 window slots, not B
+            B_eff = min(B, -(-len(tidxs) // 24) * 24)
             wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
-            while len(wins) < B:  # pad the tail batch to the static shape
+            while len(wins) < B_eff:  # pad to the static shape
                 wins.append(wins[-1])
             wbatch, wlens = build_window_batch(wins, W_b)
             perms = None
@@ -161,10 +164,10 @@ def decompose_reads(
                 from .ops.hw_filter import filter_monomers, resolve_hw_distance
 
                 dist = np.asarray(resolve_hw_distance()(wbatch, wlens, mono, mono_lens))
-                mono_b = np.full((B, M, L), 5, dtype=np.int8)
-                lens_b = np.zeros((B, M), dtype=np.int32)
+                mono_b = np.full((B_eff, M, L), 5, dtype=np.int8)
+                lens_b = np.zeros((B_eff, M), dtype=np.int32)
                 perms = []
-                for b in range(B):
+                for b in range(B_eff):
                     keep = filter_monomers(dist[b], cfg.ed_thr)
                     mono_b[b, : len(keep)] = mono[keep]
                     lens_b[b, : len(keep)] = mono_lens[keep]
