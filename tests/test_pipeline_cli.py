@@ -111,3 +111,29 @@ def test_golden_final_tsv(test_data_dir, tmp_path):
         test_data_dir / "final_decomposition_fc89af8.tsv",
         shallow=False,
     )
+
+
+def test_cli_n_symbol_warns_and_runs(tmp_path):
+    """N is a real 5th symbol in scoring (src/main.cpp:337-343): run
+    succeeds with a warning, N never matches ACGT."""
+    seqs = tmp_path / "n.fa"
+    mono = tmp_path / "m.fa"
+    _write(seqs, ">r\nACGTNNACGTACGT\n")
+    _write(mono, ">m\nACGTACGT\n")
+    rc = cli_main([str(seqs), str(mono), "-o", str(tmp_path), "-b", "16",
+                   "-v", "4", "--device-batch", "2"])
+    assert rc == 0
+    log = open(tmp_path / "stringdecomposer.log").read()
+    assert "contain N symbol" in log
+    rows = open(tmp_path / "final_decomposition.tsv").read().splitlines()
+    assert rows
+
+
+def test_cli_lowercase_rejected(tmp_path):
+    """The reference binary appends raw lines, so lowercase is a validation
+    error (src/main.cpp:330-336)."""
+    seqs = tmp_path / "lc.fa"
+    mono = tmp_path / "m.fa"
+    _write(seqs, ">r\nacgtacgt\n")
+    _write(mono, ">m\nACGT\n")
+    assert cli_main([str(seqs), str(mono), "-o", str(tmp_path)]) == 255
