@@ -219,7 +219,7 @@ def chain_dp_forward_pallas(
     mismatch: int = -1,
     match: int = 1,
     max_blocks: int = 0,
-    block_windows: int = 24,  # BT: windows per grid step (VMEM-bounded)
+    block_windows: int = 0,  # BT: windows per grid step; 0 = auto (VMEM fit)
     pos_tile: int = POS_TILE,  # keep 128 on hardware (lane alignment)
     state_dtype: str = "auto",  # "int16" | "int32" | "auto" (int16 if safe)
 ):
@@ -238,9 +238,17 @@ def chain_dp_forward_pallas(
         # resolves to int32 until the toolchain catches up.
         state_dtype = "int32"
     dtype = jnp.int16 if state_dtype == "int16" else jnp.int32
+    m_pad = max(8, -(-M // 8) * 8)
+    if block_windows <= 0:
+        # auto window-group size from a VMEM budget: Mosaic holds ~2x the
+        # grid-streamed blocks (rc + outs), ~2x the b-indexed blocks (mono,
+        # dp0, sp0) plus the two scratch columns. Budget ~8 MB of ~16 MB
+        # VMEM; measured on v5e: BT=24 ~5.6 MB ok, BT=48 ~11 MB OOM. Large
+        # monomer libraries (M >> 24) shrink BT instead of failing.
+        per_win_bytes = m_pad * (L_pad * 32 + 12 * pos_tile)
+        block_windows = max(1, min(24, (8 << 20) // max(1, per_win_bytes)))
     BT = min(block_windows, B)
     B_pad = (B + BT - 1) // BT * BT
-    m_pad = max(8, -(-M // 8) * 8)
     nprog = B_pad // BT
     R = BT * m_pad
     n_tiles = -(-(W - 1) // pos_tile)
