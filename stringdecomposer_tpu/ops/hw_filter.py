@@ -157,7 +157,10 @@ def hw_distance_batch_pallas(
     B, W = windows.shape
     M, Lq = mono.shape
     P = B * M
-    R = min(pair_tile, max(8, -(-P // 8) * 8))
+    # VMEM budget (see identity_pallas): shrink the pair tile, never OOM
+    L_fit = (Lq + 1 + 127) // 128 * 128
+    fit = max(8, ((8 << 20) // (L_fit * 12)) // 8 * 8)
+    R = min(pair_tile, fit, max(8, -(-P // 8) * 8))
     P_pad = -(-P // R) * R
     L = (Lq + 1 + 127) // 128 * 128
     n_tiles = max(1, -(-W // t_tile))

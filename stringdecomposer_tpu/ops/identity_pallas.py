@@ -152,7 +152,10 @@ def nw_identity_batch_pallas(
     _, Lt = t.shape
     # packed-payload field bounds (see _nw_kernel): Mt < 2^13, Ln span < 2^14
     assert Lq < (1 << 13) and Lq + Lt < (1 << 14), "pair too long for packed ladder"
-    R = min(pair_tile, max(8, -(-P // 8) * 8))
+    # VMEM budget: ~3 scratch columns + query block, ~8 MB of ~16 MB VMEM
+    L_fit = (Lq + 1 + 127) // 128 * 128
+    fit = max(8, ((8 << 20) // (L_fit * 16)) // 8 * 8)
+    R = min(pair_tile, fit, max(8, -(-P // 8) * 8))
     P_pad = -(-P // R) * R
     L = (Lq + 1 + 127) // 128 * 128  # lanes: query column incl. boundary row
     n_tiles = max(1, -(-Lt // t_tile))
