@@ -109,7 +109,8 @@ def decompose_reads(
     B = cfg.device_batch
     M, L = mono.shape
     MAX_INFLIGHT = 4
-    inflight: list[tuple[list[int], object, object, list | None]] = []
+    # (task_indices, blocks_dev, counts_dev, perms, redo_fn)
+    inflight: list[tuple] = []
 
     def drain(one: bool) -> None:
         while inflight and (len(inflight) >= MAX_INFLIGHT if one else True):
