@@ -63,14 +63,20 @@ def parse_fasta(text: str) -> list[Record]:
 
 
 def load_fasta(path: str, upper: bool = False) -> list[Record]:
-    """Load a FASTA file.
+    """Load a FASTA file (plain or gzip — an extension over the reference).
 
     upper=False mirrors the reference binary (src/main.cpp:314-329 appends
     raw lines, so lowercase input is a validation error); upper=True mirrors
     the reference Python stage (main.py:63-72 calls .upper()).
     """
-    with open(path) as f:
-        records = parse_fasta(f.read())
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            records = parse_fasta(f.read())
+    else:
+        with open(path) as f:
+            records = parse_fasta(f.read())
     if upper:
         for r in records:
             r.seq = r.seq.upper()

@@ -137,3 +137,18 @@ def test_cli_lowercase_rejected(tmp_path):
     _write(seqs, ">r\nacgtacgt\n")
     _write(mono, ">m\nACGT\n")
     assert cli_main([str(seqs), str(mono), "-o", str(tmp_path)]) == 255
+
+
+def test_gzip_fasta_input(tmp_path):
+    """gzip FASTA accepted transparently (extension over the reference)."""
+    import gzip
+
+    seqs = tmp_path / "seqs.fa.gz"
+    mono = tmp_path / "m.fa"
+    with gzip.open(seqs, "wt") as f:
+        f.write(">r1\nACGTACGTACGTACGT\n")
+    _write(mono, ">m\nACGTACGT\n")
+    rc = cli_main([str(seqs), str(mono), "-o", str(tmp_path), "-b", "16",
+                   "-v", "4", "--device-batch", "2"])
+    assert rc == 0
+    assert open(tmp_path / "final_decomposition.tsv").read().splitlines()
