@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="reuse existing raw-TSV fragments/checkpoints "
                    "instead of recomputing the DP stage")
+    p.add_argument("--stream-reads", type=int, default=0,
+                   help="process reads in groups of N with incremental "
+                   "output (bounded memory for flowcell-scale FASTAs)")
     p.add_argument("--serve", action="store_true",
                    help="serving mode: read one job per stdin line "
                    "(same arguments, no program name), keep kernels warm "
@@ -196,6 +199,7 @@ def _execute(args) -> int:
                 device_batch=args.device_batch,
                 forward_fn=forward_fn,
                 resume=args.resume,
+                stream_reads=args.stream_reads,
             )
     except InvalidSymbolError as e:
         logger.error("ERROR: %s", e)

@@ -308,27 +308,32 @@ def write_final_tsv(
 ) -> None:
     """Final 12-column + alt 6-column TSVs (main.py:153-165)."""
     with open(path_alt, "w") as falt, open(path_final, "w") as fout:
-        for read_name, blocks in finished:
-            for b in blocks:
-                if b.score >= identity_th:
-                    fout.write(
+        write_final_rows(fout, falt, finished, identity_th)
+
+
+def write_final_rows(fout, falt, finished, identity_th: int = 0) -> None:
+    """Row emission shared by the one-shot and streaming runners."""
+    for read_name, blocks in finished:
+        for b in blocks:
+            if b.score >= identity_th:
+                fout.write(
+                    "\t".join(
+                        [
+                            read_name, b.monomer_name, str(b.start), str(b.end),
+                            f"{b.score:.2f}",
+                            b.second_best, f"{b.second_best_score:.2f}",
+                            b.homo_best, f"{b.homo_best_score:.2f}",
+                            b.homo_second_best, f"{b.homo_second_best_score:.2f}",
+                            "+" if b.reliable else "?",
+                        ]
+                    )
+                    + "\n"
+                )
+                for name, sc in b.alt.items():
+                    star = "*" if name == b.monomer_name else "-"
+                    falt.write(
                         "\t".join(
-                            [
-                                read_name, b.monomer_name, str(b.start), str(b.end),
-                                f"{b.score:.2f}",
-                                b.second_best, f"{b.second_best_score:.2f}",
-                                b.homo_best, f"{b.homo_best_score:.2f}",
-                                b.homo_second_best, f"{b.homo_second_best_score:.2f}",
-                                "+" if b.reliable else "?",
-                            ]
+                            [read_name, name, str(b.start), str(b.end), f"{sc:.2f}", star]
                         )
                         + "\n"
                     )
-                    for name, sc in b.alt.items():
-                        star = "*" if name == b.monomer_name else "-"
-                        falt.write(
-                            "\t".join(
-                                [read_name, name, str(b.start), str(b.end), f"{sc:.2f}", star]
-                            )
-                            + "\n"
-                        )

@@ -83,6 +83,35 @@ def load_fasta(path: str, upper: bool = False) -> list[Record]:
     return records
 
 
+def iter_fasta(path: str, upper: bool = False):
+    """Lazily yield Records from a (plain or gzip) FASTA file — bounded
+    memory for flowcell-scale read sets (the pipeline's --stream-reads)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        fh = gzip.open(path, "rt")
+    else:
+        fh = open(path)
+    try:
+        name = None
+        parts: list[str] = []
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if name is not None:
+                    seq = "".join(parts)
+                    yield Record(name, seq.upper() if upper else seq)
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                parts = []
+            elif name is not None:
+                parts.append(line.strip())
+        if name is not None:
+            seq = "".join(parts)
+            yield Record(name, seq.upper() if upper else seq)
+    finally:
+        fh.close()
+
+
 class InvalidSymbolError(ValueError):
     pass
 

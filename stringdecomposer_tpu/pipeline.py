@@ -244,6 +244,7 @@ def run(
     device_batch: int = 64,
     forward_fn=None,
     resume: bool = False,
+    stream_reads: int = 0,
 ) -> str:
     """Full pipeline: FASTA -> raw TSV -> rescoring -> final + alt TSVs.
 
@@ -263,6 +264,12 @@ def run(
     from .report import parse_raw_tsv, write_raw_tsv
 
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    if stream_reads > 0:
+        return _run_streaming(
+            sequences_path, monomers_path, out_dir, out_file, min_identity,
+            scoring, batch_size, overlap, second_best, ed_thr, device_batch,
+            forward_fn, stream_reads,
+        )
     reads = load_fasta(sequences_path)
     monomers_fwd = load_fasta(monomers_path)
     validate_acgtn(reads, sequences_path)
@@ -322,5 +329,92 @@ def run(
     final_path = os.path.join(out_dir, out_file + ".tsv")
     alt_path = os.path.join(out_dir, out_file + "_alt.tsv")
     write_final_tsv(final_path, alt_path, finished, identity_th=min_identity)
+    logger.info("Transformation finished. Results can be found in %s", final_path)
+    return final_path
+
+
+def _run_streaming(
+    sequences_path: str,
+    monomers_path: str,
+    out_dir: str,
+    out_file: str,
+    min_identity: int,
+    scoring: str,
+    batch_size: int,
+    overlap: int,
+    second_best: bool,
+    ed_thr: int,
+    device_batch: int,
+    forward_fn,
+    stream_reads: int,
+) -> str:
+    """Bounded-memory runner: reads stream through the pipeline in groups of
+    `stream_reads`, raw/final/alt rows append incrementally — flowcell-scale
+    FASTAs never materialize in memory. Output bytes are identical to the
+    one-shot runner (tests/test_streaming.py)."""
+    import os
+
+    from .finishing import finish_reads, write_final_rows
+    from .io.fasta import add_rc_interleaved, add_reverse_complement, iter_fasta, load_fasta, validate_acgtn
+    from .report import format_raw_rows
+
+    monomers_fwd = load_fasta(monomers_path)
+    validate_acgtn(monomers_fwd, monomers_path)
+    monomers_dp = add_reverse_complement(monomers_fwd)
+    monomers_fin = add_rc_interleaved(load_fasta(monomers_path, upper=True))
+    dp_names = [m.name for m in monomers_dp]
+    ins, dele, mm, match = (int(x) for x in scoring.split(","))
+    cfg = PipelineConfig(
+        scoring=Scoring(ins, dele, mm, match),
+        part_size=batch_size,
+        overlap=overlap,
+        device_batch=device_batch,
+        ed_thr=ed_thr,
+    )
+
+    raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
+    final_path = os.path.join(out_dir, out_file + ".tsv")
+    alt_path = os.path.join(out_dir, out_file + "_alt.tsv")
+    t0 = time.perf_counter()
+    n_blocks = 0
+    n_reads = 0
+    with open(raw_path, "w") as fraw, open(final_path, "w") as fout, \
+            open(alt_path, "w") as falt:
+        group: list[Record] = []
+
+        def flush_group():
+            nonlocal n_blocks, n_reads
+            if not group:
+                return
+            validate_acgtn(group, sequences_path)
+            result = decompose_reads(group, monomers_dp, cfg, forward_fn=forward_fn)
+            per_read_raw = []
+            for rname, blocks in result:
+                for row in format_raw_rows(rname, blocks, dp_names):
+                    fraw.write(row + "\n")
+                per_read_raw.append(
+                    (rname.split()[0],
+                     [{"m": dp_names[b.monomer].split()[0],
+                       "start": b.start, "end": b.end} for b in blocks])
+                )
+                n_blocks += len(blocks)
+            reads_by_name = {r.name: r.seq for r in group}
+            finished = finish_reads(
+                per_read_raw, reads_by_name, monomers_fin, second_best=second_best
+            )
+            write_final_rows(fout, falt, finished, identity_th=min_identity)
+            n_reads += len(group)
+            logger.info("streamed %d reads (%d assignments)", n_reads, n_blocks)
+            group.clear()
+
+        for rec in iter_fasta(sequences_path):
+            group.append(rec)
+            if len(group) >= stream_reads:
+                flush_group()
+        flush_group()
+    logger.info(
+        "Streaming run finished: %d reads, %d assignments in %.2fs",
+        n_reads, n_blocks, time.perf_counter() - t0,
+    )
     logger.info("Transformation finished. Results can be found in %s", final_path)
     return final_path
