@@ -69,7 +69,7 @@ def load_fasta(path: str, upper: bool = False) -> list[Record]:
     raw lines, so lowercase input is a validation error); upper=True mirrors
     the reference Python stage (main.py:63-72 calls .upper()).
     """
-    if path.endswith(".gz"):
+    if str(path).endswith(".gz"):
         import gzip
 
         with gzip.open(path, "rt") as f:
@@ -86,7 +86,7 @@ def load_fasta(path: str, upper: bool = False) -> list[Record]:
 def iter_fasta(path: str, upper: bool = False):
     """Lazily yield Records from a (plain or gzip) FASTA file — bounded
     memory for flowcell-scale read sets (the pipeline's --stream-reads)."""
-    if path.endswith(".gz"):
+    if str(path).endswith(".gz"):
         import gzip
 
         fh = gzip.open(path, "rt")
