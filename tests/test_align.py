@@ -14,8 +14,12 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 @pytest.fixture(scope="module")
 def align_cases():
-    with open(FIXTURES / "align_cases.json") as f:
-        return json.load(f)
+    # two independently seeded reference-edlib fixture sets (420 cases)
+    cases = []
+    for name in ["align_cases.json", "align_cases_b.json"]:
+        with open(FIXTURES / name) as f:
+            cases.extend(json.load(f))
+    return cases
 
 
 def _by_mode(cases, mode):
