@@ -25,8 +25,12 @@ TEST_DATA = pathlib.Path(__file__).parent.parent / "stringdecomposer_tpu" / "tes
 
 @pytest.fixture(scope="session")
 def random_cases():
-    with open(FIXTURES / "random_cases.json") as f:
-        return json.load(f)
+    # two independently seeded reference-binary fixture sets
+    cases = []
+    for name in ["random_cases.json", "random_cases_b.json"]:
+        with open(FIXTURES / name) as f:
+            cases.extend(json.load(f))
+    return cases
 
 
 @pytest.fixture(scope="session")
