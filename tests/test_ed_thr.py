@@ -18,8 +18,11 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 @pytest.fixture(scope="module")
 def ed_thr_cases():
-    with open(FIXTURES / "ed_thr_cases.json") as f:
-        return json.load(f)
+    cases = []
+    for name in ["ed_thr_cases.json", "ed_thr_cases_b.json"]:
+        with open(FIXTURES / name) as f:
+            cases.extend(json.load(f))
+    return cases
 
 
 def test_hw_distance_matches_spec(edlib_cases):
