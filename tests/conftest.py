@@ -35,8 +35,11 @@ def random_cases():
 
 @pytest.fixture(scope="session")
 def edlib_cases():
-    with open(FIXTURES / "edlib_cases.json") as f:
-        return json.load(f)
+    cases = []
+    for name in ["edlib_cases.json", "edlib_cases_b.json"]:
+        with open(FIXTURES / name) as f:
+            cases.extend(json.load(f))
+    return cases
 
 
 @pytest.fixture(scope="session")
