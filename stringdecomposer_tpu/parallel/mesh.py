@@ -32,5 +32,8 @@ def initialize_distributed(coordinator: str | None = None, num_processes: int | 
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
+            # heavily loaded hosts can take minutes to reach this point
+            # (cold imports + compiles); don't let the barrier give up first
+            initialization_timeout=600,
         )
     jax.distributed.initialize(**kwargs)

@@ -130,19 +130,28 @@ def test_coordinator_path(case):
         port = s.getsockname()[1]
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "stringdecomposer_tpu", seqs, mono,
-             "-o", str(multi), "-b", "16", "-v", "4", "--device-batch", "2",
-             "--second-best", "--coordinator", f"localhost:{port}",
-             "--num-processes", "2", "--host-id", str(h)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        )
-        for h in range(2)
-    ]
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, err.decode()
+
+    def launch():
+        return [
+            subprocess.Popen(
+                [sys.executable, "-m", "stringdecomposer_tpu", seqs, mono,
+                 "-o", str(multi), "-b", "16", "-v", "4", "--device-batch", "2",
+                 "--second-best", "--coordinator", f"localhost:{port}",
+                 "--num-processes", "2", "--host-id", str(h)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+            for h in range(2)
+        ]
+
+    for attempt in range(2):  # distributed bring-up can flake on loaded CI
+        procs = launch()
+        results = [p.communicate(timeout=900) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            raise AssertionError(
+                "\n---\n".join(err.decode()[-2000:] for _, err in results)
+            )
     assert (multi / "final_decomposition_raw.shard00001.tsv").exists()
     assert _read(multi / "final_decomposition.tsv") == _read(
         single / "final_decomposition.tsv"
