@@ -82,7 +82,7 @@ def test_serve_mode(tiny_case):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     res = subprocess.run(
         [_sys.executable, "-m", "stringdecomposer_tpu", "--serve"],
-        input=jobs.encode(), capture_output=True, timeout=600, env=env,
+        input=jobs.encode(), capture_output=True, timeout=1200, env=env,
     )
     assert res.returncode == 0, res.stderr.decode()
     lines = [
