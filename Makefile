@@ -5,13 +5,19 @@
 PYTHON ?= python3
 DATA := stringdecomposer_tpu/test_data
 
-.PHONY: all test test_launch install uninstall clean
+.PHONY: all test test_tpu test_launch install uninstall clean
 
 all:
 	$(MAKE) -C stringdecomposer_tpu/runtime/native
 
 test:
 	$(PYTHON) -m pytest tests/ -q -m "not slow"
+
+# one-command hardware parity suite: Mosaic compile path (interpret=False
+# Pallas kernels vs oracles) + bench.py's TSV byte-gate. Needs a real TPU.
+test_tpu:
+	SDTPU_TESTS_ON_TPU=1 $(PYTHON) -m pytest tests/ -q -m tpu
+	$(PYTHON) bench.py
 
 test_launch:
 	rm -rf /tmp/sd_tpu_test && \

@@ -127,11 +127,14 @@ def _blocks_x_monomers(
         for i, b in enumerate(part):
             q[i, : len(b)] = b
             ql[i] = len(b)
-        qd, qld = jnp.asarray(q), jnp.asarray(ql)
+        qd = jnp.asarray(q)
         qs = jnp.repeat(qd, M, axis=0)
-        qls = jnp.repeat(qld, M)
+        # pair lengths stay NumPy: the kernel wrapper sizes its wavefront
+        # from max(qlen+tlen) host-side, and a device-resident length vector
+        # would force a device->host sync per chunk
+        qls = np.repeat(ql, M)
         ts = jnp.tile(td, (bc, 1))
-        tls = jnp.tile(tld, bc)
+        tls = np.tile(tl, bc)
         _, mt, ln = kernel(qs, qls, ts, tls)
         n = len(part)
         matches[s : s + n] = np.asarray(mt).reshape(bc, M)[:n]
@@ -243,8 +246,36 @@ def _finish_group(
                 pairs_t.append(mono_codes[name_to_idx[d["m"]]])
         matches, totals = _batched_identity(subs, pairs_t)
 
-    # ---- per-block host logic (main.py:107-150) ----
+    # ---- per-block host logic (main.py:107-150), vectorized over the whole
+    # group: the reference's per-block Python loops (24 aai calls + a sort
+    # per block) become a handful of NumPy ops on the [Nb, M] score matrix.
+    # Bit-exactness: aai's float op order (m/L)*100 is elementwise, argmax
+    # returns the FIRST max (== "first strict improvement wins",
+    # main.py:131-135), stable argsort == the reference's stable sort on
+    # -score (main.py:142).
     out: list[tuple[str, list[FinishedBlock]]] = []
+    if second_best:
+        Nb = len(subs)
+        with np.errstate(invalid="ignore"):
+            sc_all = np.where(ln_raw == 0, 0.0,
+                              (mt_raw.astype(np.float64) / ln_raw) * 100.0)
+            hsc_all = np.where(ln_homo == 0, 0.0,
+                               (mt_homo.astype(np.float64) / ln_homo) * 100.0)
+        best_idx_all = np.fromiter(
+            (name_to_idx[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+            dtype=np.int64, count=Nb,
+        )
+        rows = np.arange(Nb)
+        best_score_all = sc_all[rows, best_idx_all] if Nb else np.zeros(0)
+        # second best: mask the best monomer's column per row, first-max wins
+        masked = sc_all.copy()
+        if Nb:
+            masked[rows, best_idx_all] = -np.inf
+        sb_idx_all = masked.argmax(axis=1) if Nb else best_idx_all
+        sb_score_all = masked[rows, sb_idx_all] if Nb else np.zeros(0)
+        # homopolymer ranking: stable argsort on -score, top-2 columns
+        horder = np.argsort(-hsc_all, axis=1, kind="stable") if Nb else None
+
     bi = 0
     for read_name, blocks in per_read_blocks:
         fblocks: list[FinishedBlock] = []
@@ -258,32 +289,14 @@ def _finish_group(
                     )
                 )
             else:
-                scores = [
-                    aai_from_counts(mt_raw[bi, j], ln_raw[bi, j]) for j in range(M)
-                ]
-                homo_scores = [
-                    aai_from_counts(mt_homo[bi, j], ln_homo[bi, j]) for j in range(M)
-                ]
-                best = d["m"]
-                best_idx = name_to_idx[best]
-                # second best: first strict improvement wins (main.py:131-135)
-                secondbest, secondbest_score = None, -1
-                for j in range(M):
-                    if mono_names[j] != best:
-                        if secondbest is None or secondbest_score < scores[j]:
-                            secondbest, secondbest_score = mono_names[j], scores[j]
-                # homopolymer ranking: stable sort on -score (main.py:142)
-                homo_ranked = sorted(
-                    ((mono_names[j], homo_scores[j]) for j in range(M)),
-                    key=lambda x: -x[1],
-                )
+                h0, h1 = horder[bi, 0], horder[bi, 1]
                 fblocks.append(
                     FinishedBlock(
-                        best, d["start"], d["end"], scores[best_idx],
-                        str(secondbest), secondbest_score,
-                        homo_ranked[0][0], homo_ranked[0][1],
-                        homo_ranked[1][0], homo_ranked[1][1],
-                        {mono_names[j]: scores[j] for j in range(M)},
+                        d["m"], d["start"], d["end"], best_score_all[bi],
+                        mono_names[sb_idx_all[bi]], sb_score_all[bi],
+                        mono_names[h0], hsc_all[bi, h0],
+                        mono_names[h1], hsc_all[bi, h1],
+                        dict(zip(mono_names, sc_all[bi])),
                         True,
                     )
                 )

@@ -53,7 +53,7 @@ def parse_fasta(text: str) -> list[Record]:
         if line.startswith(">"):
             if name is not None:
                 records.append(Record(name, "".join(parts)))
-            name = line[1:].split()[0] if len(line) > 1 else ""
+            name = (line[1:].split() or [""])[0]
             parts = []
         elif name is not None:
             parts.append(line.strip())
@@ -101,7 +101,7 @@ def iter_fasta(path: str, upper: bool = False):
                 if name is not None:
                     seq = "".join(parts)
                     yield Record(name, seq.upper() if upper else seq)
-                name = line[1:].split()[0] if len(line) > 1 else ""
+                name = (line[1:].split() or [""])[0]
                 parts = []
             elif name is not None:
                 parts.append(line.strip())

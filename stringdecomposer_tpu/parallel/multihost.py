@@ -58,13 +58,101 @@ def _sentinel(frag: str) -> str:
     return frag + ".done"
 
 
-def _wait_for(paths: list[str], timeout: float = 3600.0, poll: float = 0.2) -> None:
+def _sentinel_matches(path: str, fingerprint: str) -> bool:
+    """True iff the sentinel exists and was written for `fingerprint`.
+
+    Checking content (not mere existence) means a stale sentinel from a
+    previous run with different inputs — or one mid-rewrite by another
+    host — never admits its fragment into the merge."""
+    try:
+        with open(path) as f:
+            return f.read().strip() == fingerprint
+    except OSError:
+        return False
+
+
+_HEARTBEAT_PERIOD = 10.0
+
+
+def _heartbeat(frag: str) -> str:
+    return frag + ".alive"
+
+
+class _HeartbeatThread:
+    """Touches the host's `.alive` file every few seconds while the DP
+    stage runs, so host 0 can distinguish 'still computing' from 'dead'.
+    (A fragment file is only written at stage end, so its size carries no
+    liveness signal during compute.)"""
+
+    def __init__(self, frag: str, period: float = _HEARTBEAT_PERIOD):
+        import threading
+
+        self._path = _heartbeat(frag)
+        self._period = period
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                with open(self._path, "w") as f:
+                    f.write(str(time.time()))
+            except OSError:
+                pass
+            self._stop.wait(self._period)
+
+    def __enter__(self) -> "_HeartbeatThread":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
+def _wait_for(
+    paths: list[str],
+    fingerprint: str,
+    timeout: float = 3600.0,
+    poll: float = 0.2,
+    liveness_grace: float = 120.0,
+) -> None:
+    """Block until every sentinel exists with the current fingerprint.
+
+    Dead-host detection: a host whose sentinel is missing AND whose
+    heartbeat file has not been touched for `liveness_grace` seconds is
+    declared dead — host 0 fails fast with a message naming it instead of
+    silently burning the whole `timeout`. A host that never wrote a
+    heartbeat gets the same grace measured from when the wait began
+    (covers startup/compile skew). The reference has no multi-host story
+    at all (src/main.cpp:103-120 is single-process)."""
+    start_wall = time.time()
     deadline = time.monotonic() + timeout
     missing = list(paths)
     while missing:
-        missing = [p for p in missing if not os.path.exists(p)]
+        missing = [p for p in missing if not _sentinel_matches(p, fingerprint)]
         if not missing:
             return
+        now_wall = time.time()
+        stalled = []
+        for p in missing:
+            hb = _heartbeat(p[: -len(".done")])
+            try:
+                last = os.path.getmtime(hb)
+            except OSError:
+                last = start_wall
+            if now_wall - last > liveness_grace:
+                stalled.append(p)
+        if stalled:
+            hosts = ", ".join(
+                p.rsplit(".shard", 1)[1].split(".")[0].lstrip("0") or "0"
+                for p in stalled
+            )
+            raise RuntimeError(
+                f"host(s) {hosts} appear dead: no heartbeat for "
+                f"{liveness_grace:.0f}s (sentinels still missing: {stalled}). "
+                "Re-run with --resume to recompute only the missing fragments."
+            )
         if time.monotonic() > deadline:
             raise TimeoutError(f"timed out waiting for host fragments: {missing}")
         time.sleep(poll)
@@ -78,34 +166,36 @@ def merge_raw_fragments(
     Each fragment holds its host's reads in ascending global index (the
     single-host pipeline preserves input order), so the merge is one
     sequential pass per fragment — the cross-host version of the
-    reference's index re-sort (src/main.cpp:103-120).
+    reference's index re-sort (src/main.cpp:103-120). The pass is fully
+    streaming: one open file handle per host, rows copied line-by-line,
+    so merge memory is O(num_hosts), flat in the input size (a centromere
+    assembly's raw TSV can be many GB).
     """
-    # split every fragment into per-read row groups; the sidecar written next
-    # to each fragment records exact per-read row counts, so zero-block reads
-    # and duplicate read names merge unambiguously
-    frags: list[list[list[str]]] = []
-    for h in range(topo.num_hosts):
-        frag = fragment_path(out_dir, out_file, h)
-        with open(frag) as f:
-            rows = f.read().split("\n")[:-1]
-        groups: list[list[str]] = []
-        pos = 0
-        with open(frag + ".reads") as f:
-            for ln in f.read().split("\n")[:-1]:
-                _, cnt = ln.rsplit("\t", 1)
-                n = int(cnt)
-                groups.append(rows[pos : pos + n])
-                pos += n
-        frags.append(groups)
+    # the sidecar written next to each fragment records exact per-read row
+    # counts, so zero-block reads and duplicate read names merge unambiguously
+    counts: list[list[int]] = []
+    handles = []
+    try:
+        for h in range(topo.num_hosts):
+            frag = fragment_path(out_dir, out_file, h)
+            with open(frag + ".reads") as f:
+                counts.append(
+                    [int(ln.rsplit("\t", 1)[1]) for ln in f.read().split("\n")[:-1]]
+                )
+            handles.append(open(frag))
 
-    cursors = [0] * topo.num_hosts
-    raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
-    with open(raw_path, "w") as out:
-        for gi in range(n_reads):
-            h = gi % topo.num_hosts
-            for row in frags[h][cursors[h]]:
-                out.write(row + "\n")
-            cursors[h] += 1
+        cursors = [0] * topo.num_hosts
+        raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
+        with open(raw_path + ".tmp", "w") as out:
+            for gi in range(n_reads):
+                h = gi % topo.num_hosts
+                for _ in range(counts[h][cursors[h]]):
+                    out.write(handles[h].readline())
+                cursors[h] += 1
+    finally:
+        for fh in handles:
+            fh.close()
+    os.replace(raw_path + ".tmp", raw_path)
     return raw_path
 
 
@@ -184,6 +274,14 @@ def run_multihost(
                 "inputs; recomputing", topo.host_id,
             )
     if not resumable:
+        # drop any stale sentinel/fragment BEFORE recomputing: host 0 must
+        # never observe an old-fingerprint sentinel next to a mid-rewrite
+        # fragment (silently-wrong-merge race on rerun into a reused out_dir)
+        for stale in (_sentinel(frag), frag, frag + ".reads"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         ins, dele, mm, match = (int(x) for x in scoring.split(","))
         cfg = PipelineConfig(
             scoring=Scoring(ins, dele, mm, match),
@@ -203,13 +301,19 @@ def run_multihost(
             "host %d/%d: decomposing %d of %d reads",
             topo.host_id, topo.num_hosts, len(local), len(reads),
         )
-        result = decompose_reads(local, monomers_dp, cfg, forward_fn=forward_fn)
-        write_raw_tsv(frag, result, [m.name for m in monomers_dp])
-        with open(frag + ".reads", "w") as f:
-            for r, (_, blocks) in zip(local, result):
-                f.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
-        with open(_sentinel(frag), "w") as f:
-            f.write(fp + "\n")
+        with _HeartbeatThread(frag):
+            result = decompose_reads(local, monomers_dp, cfg, forward_fn=forward_fn)
+            # write-then-rename so a crash mid-write never leaves a truncated
+            # fragment that a later merge or --resume could mistake for complete
+            write_raw_tsv(frag + ".tmp", result, [m.name for m in monomers_dp])
+            with open(frag + ".reads.tmp", "w") as f:
+                for r, (_, blocks) in zip(local, result):
+                    f.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
+            os.replace(frag + ".tmp", frag)
+            os.replace(frag + ".reads.tmp", frag + ".reads")
+            with open(_sentinel(frag) + ".tmp", "w") as f:
+                f.write(fp + "\n")
+            os.replace(_sentinel(frag) + ".tmp", _sentinel(frag))
     else:
         logger.info("host %d: fragment exists, resuming past DP stage", topo.host_id)
 
@@ -219,6 +323,7 @@ def run_multihost(
     # host 0: wait for every fragment, merge, finish
     _wait_for(
         [_sentinel(fragment_path(out_dir, out_file, h)) for h in range(topo.num_hosts)],
+        fp,
         timeout=barrier_timeout,
     )
     raw_path = merge_raw_fragments(out_dir, out_file, topo, len(reads))

@@ -303,9 +303,18 @@ def run(
         # reference's accidental one, main.py:193-196, made official)
         logger.info("Resuming from existing raw decomposition %s", raw_path)
     else:
+        # invalidate any previous stamp BEFORE touching the raw TSV: a crash
+        # mid-write must not leave a truncated TSV next to a still-matching
+        # stamp (a later --resume would silently finish from corrupt data);
+        # write-then-rename keeps the TSV itself atomic too
+        try:
+            os.remove(stamp_path)
+        except OSError:
+            pass
         t0 = time.perf_counter()
         result = decompose_reads(reads, monomers_dp, cfg, forward_fn=forward_fn)
-        write_raw_tsv(raw_path, result, [m.name for m in monomers_dp])
+        write_raw_tsv(raw_path + ".tmp", result, [m.name for m in monomers_dp])
+        os.replace(raw_path + ".tmp", raw_path)
         with open(stamp_path, "w") as f:
             f.write(fp + "\n")
         n_blocks = sum(len(b) for _, b in result)

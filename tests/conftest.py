@@ -11,13 +11,28 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 # The hosted TPU plugin ("axon") ignores JAX_PLATFORMS; the config update is
-# what actually pins tests to the virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+# what actually pins tests to the virtual CPU mesh. `make test_tpu` sets
+# SDTPU_TESTS_ON_TPU=1 to leave the real chip visible for the @pytest.mark.tpu
+# hardware parity suite (Mosaic compile path, interpret=False).
+ON_TPU = os.environ.get("SDTPU_TESTS_ON_TPU") == "1"
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import json
 import pathlib
 
 import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    if ON_TPU:
+        return
+    skip_tpu = pytest.mark.skip(
+        reason="needs real TPU hardware; run via `make test_tpu`"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 TEST_DATA = pathlib.Path(__file__).parent.parent / "stringdecomposer_tpu" / "test_data"

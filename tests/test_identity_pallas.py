@@ -49,3 +49,31 @@ def test_pallas_edge_lengths():
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_array_equal(m0, m1)
     np.testing.assert_array_equal(l0, l1)
+
+
+def test_pallas_wavefront_wrap_edges():
+    """Adversarial shapes for the systolic circular buffer: query lengths at
+    the lane-count boundary (off = 1), targets as long as the lane array,
+    and qlen << tlen skews — the cases where lane-0 wraparound could bite."""
+    rng = np.random.default_rng(3)
+    alpha = "ACGT"
+    qs, ts = [], []
+    for ql, tl in [(126, 126), (126, 128), (1, 126), (126, 1), (64, 128),
+                   (125, 100), (126, 127), (100, 128), (2, 2), (31, 33)]:
+        qs.append("".join(rng.choice(list(alpha), ql)))
+        ts.append("".join(rng.choice(list(alpha), tl)))
+    # plus tandem-ish pairs (realistic monomer content)
+    for _ in range(6):
+        unit = "".join(rng.choice(list(alpha), 17))
+        qs.append((unit * 9)[: int(rng.integers(80, 126))])
+        ts.append(unit * int(rng.integers(1, 7)))
+    q, ql_arr = _pad_batch(qs)
+    t, tl_arr = _pad_batch(ts)
+    d0, m0, l0 = (np.asarray(x) for x in nw_identity_batch(q, ql_arr, t, tl_arr))
+    d1, m1, l1 = (
+        np.asarray(x)
+        for x in nw_identity_batch_pallas(q, ql_arr, t, tl_arr, pair_tile=8)
+    )
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_array_equal(l0, l1)

@@ -87,6 +87,72 @@ def test_resume_skips_dp(case):
     assert any(r.startswith("r4\t") for r in rows)
 
 
+def test_dead_host_detected(tmp_path):
+    """A host with no sentinel and a stale (or absent) heartbeat fails the
+    merge wait fast, naming the dead host — not after the full timeout."""
+    import time
+
+    from stringdecomposer_tpu.parallel.multihost import _wait_for, fragment_path
+
+    frag = fragment_path(str(tmp_path), "final_decomposition", 1)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match=r"host\(s\) 1 appear dead"):
+        _wait_for([frag + ".done"], "fp", timeout=60.0, poll=0.05,
+                  liveness_grace=0.3)
+    assert time.monotonic() - t0 < 30.0  # failed fast, not at timeout
+
+
+def test_live_heartbeat_keeps_wait_alive(tmp_path):
+    """A fresh heartbeat suppresses dead-host declaration until the sentinel
+    (with the CURRENT fingerprint) lands; a stale-fingerprint sentinel is
+    never accepted."""
+    import threading
+    import time
+
+    from stringdecomposer_tpu.parallel.multihost import (
+        _HeartbeatThread, _wait_for, fragment_path,
+    )
+
+    frag = fragment_path(str(tmp_path), "final_decomposition", 0)
+    # a sentinel from a previous run with different inputs must not satisfy
+    # the wait (the silent-wrong-merge race from the round-1 advisor finding)
+    with open(frag + ".done", "w") as f:
+        f.write("other-fingerprint\n")
+
+    def worker():
+        with _HeartbeatThread(frag, period=0.05):
+            time.sleep(0.8)  # longer than liveness_grace: only heartbeat saves us
+            with open(frag + ".done", "w") as f:
+                f.write("fp\n")
+
+    t = threading.Thread(target=worker)
+    t.start()
+    try:
+        _wait_for([frag + ".done"], "fp", timeout=30.0, poll=0.05,
+                  liveness_grace=0.4)
+    finally:
+        t.join()
+
+
+def test_rerun_with_changed_inputs_no_stale_merge(case):
+    """Re-running (without --resume) into an out_dir holding a previous run's
+    fragments must recompute and merge fresh data, not stale fragments."""
+    seqs, mono, tmp = case
+    out = tmp / "rerun"
+    for h in [1, 0]:
+        run_multihost(seqs, mono, out_dir=str(out),
+                      topology=HostTopology(2, h), **COMMON)
+    first = _read(out / "final_decomposition.tsv")
+    with open(seqs, "a") as f:
+        f.write(">r4\nACGTACGTACGT\n")
+    for h in [1, 0]:
+        run_multihost(seqs, mono, out_dir=str(out),
+                      topology=HostTopology(2, h), **COMMON)
+    rows = _read(out / "final_decomposition.tsv").splitlines()
+    assert any(r.startswith("r4\t") for r in rows)
+    assert first != _read(out / "final_decomposition.tsv")
+
+
 @pytest.mark.slow
 def test_concurrent_hosts_via_cli(case):
     """Three real processes cooperating through the shared out-dir, launched

@@ -57,3 +57,17 @@ def test_streaming_gzip(case):
     run(seqs, mono, out_dir=str(tmp / "plain"), **COMMON)
     run(str(gz), mono, out_dir=str(tmp / "gz"), stream_reads=2, **COMMON)
     assert _outs(tmp / "gz") == _outs(tmp / "plain")
+
+
+def test_blank_header_no_crash(tmp_path):
+    """A '>' header with only whitespace yields an empty-name record instead
+    of crashing mid-stream (round-1 advisor finding on io/fasta.py)."""
+    from stringdecomposer_tpu.io.fasta import iter_fasta, parse_fasta
+
+    text = ">  \nACGT\n>r2\nTTTT\n"
+    p = tmp_path / "blank.fa"
+    with open(p, "w") as f:
+        f.write(text)
+    for recs in (list(iter_fasta(str(p))), parse_fasta(text)):
+        assert [r.name for r in recs] == ["", "r2"]
+        assert [r.seq for r in recs] == ["ACGT", "TTTT"]
