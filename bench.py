@@ -59,12 +59,72 @@ def main() -> int:
         decompose_reads(big_reads, monomers, cfg)
     dt = (time.perf_counter() - t0) / N_RUNS
     assign_per_s = n_assignments * reps / dt
+    # DP cell throughput: windows x positions x monomers x avg monomer len
+    n_windows = sum(max(1, (len(r.seq) - 500 + 4999) // 5000) for r in big_reads)
+    avg_len = sum(len(m.seq) for m in monomers) / len(monomers)
+    cells = n_windows * 5500 * len(monomers) * avg_len
+    gcells = cells / dt / 1e9
+
+    # end-to-end --second-best (DP + 48-way rescoring + classify +
+    # formatting). Correctness: the finishing path is byte-gated against the
+    # reference golden TSV on the test read; throughput: warm in-process run
+    # on a 1.6 Mbp synthetic centromere assembly (the raw-DP-only number
+    # hides the rescoring stage the reference spends most of its time in).
+    from stringdecomposer_tpu.finishing import finish_reads, write_final_tsv
+    from stringdecomposer_tpu.io.fasta import Record, add_rc_interleaved, load_fasta as _lf
+    from stringdecomposer_tpu.report import parse_raw_tsv
+
+    mono_fin = add_rc_interleaved(
+        _lf(os.path.join(data, "DXZ1_star_monomers.fa"), upper=True))
+    reads_up = {r.name.split()[0]: r.seq for r in
+                _lf(os.path.join(data, "read.fa"), upper=True)}
+    finished = finish_reads(parse_raw_tsv(got), reads_up, mono_fin, second_best=True)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        write_final_tsv(os.path.join(td, "f.tsv"), os.path.join(td, "a.tsv"),
+                        finished, identity_th=0)
+        with open(os.path.join(td, "f.tsv")) as f_got, open(
+            os.path.join(data, "final_decomposition_fc89af8.tsv")
+        ) as f_want:
+            if f_got.read() != f_want.read():
+                print(json.dumps({"metric": "CORRECTNESS_FAILURE_E2E", "value": 0,
+                                  "unit": "", "vs_baseline": 0}))
+                return 1
+
+    sys.path.insert(0, os.path.join(here, "scripts"))
+    from scale_smoke import synthesize
+    import numpy as np
+
+    monomers_fwd = _lf(os.path.join(data, "DXZ1_star_monomers.fa"))
+    asm = synthesize(1_600_000, monomers_fwd, np.random.default_rng(0))
+    asm_reads = [Record("asm", asm)]
+    res = decompose_reads(asm_reads, monomers, cfg)  # warm
+    raw_rows = []
+    for rname, blocks in res:
+        raw_rows.extend(format_raw_rows(rname, blocks, names))
+    per_read = parse_raw_tsv("".join(r + "\n" for r in raw_rows))
+    finish_reads(per_read, {"asm": asm.upper()}, mono_fin, second_best=True)  # warm
+    t0 = time.perf_counter()
+    res = decompose_reads(asm_reads, monomers, cfg)
+    raw_rows = []
+    for rname, blocks in res:
+        raw_rows.extend(format_raw_rows(rname, blocks, names))
+    per_read = parse_raw_tsv("".join(r + "\n" for r in raw_rows))
+    fin = finish_reads(per_read, {"asm": asm.upper()}, mono_fin, second_best=True)
+    dt_e2e = time.perf_counter() - t0
+    n_e2e = sum(len(b) for _, b in fin)
+    e2e_assign_per_s = n_e2e / dt_e2e
 
     print(json.dumps({
         "metric": "monomer assignments/s per chip (raw DP stage, test read, TSV byte-verified)",
         "value": round(assign_per_s, 1),
         "unit": "assignments/s",
         "vs_baseline": round(assign_per_s / BASELINE_ASSIGN_PER_S, 2),
+        "extra": {
+            "dp_gcells_per_s": round(gcells, 2),
+            "e2e_second_best_assignments_per_s": round(e2e_assign_per_s, 1),
+            "e2e_includes": "warm DP + 48-way rescoring + reliability on a 1.6 Mbp assembly; finishing path golden-byte-verified on the test read",
+        },
     }))
     return 0
 

@@ -21,15 +21,19 @@ be 128-aligned):
     per-row ramp (lane - off)*del, precomputed once per grid step; the
     prefix-max fold is unchanged because a per-row constant shift cancels
     inside cummax.
-  - the DP state is int16 whenever the score range provably fits (window
-    scores are bounded by (W + L) * max|unit|; see _check_int16_bounds):
-    16-bit lanes halve the VREG count of every ladder op. Falls back to
-    int32 for exotic scoring schemes.
+  - the kernel is ROLL-throughput bound (pltpu.roll materializes a VMEM
+    pass; elementwise ops fuse into it for free — measured: wall time =
+    const + ~12ms/roll at [576,256]). The packed-roll path (see _can_pack)
+    therefore packs (score, start-pointer) into one int32 so the ladder
+    and the diag/ins shift each roll ONE array: 10 rolls/step vs 19.
+    (int16 state would halve roll bytes again but this Mosaic build has no
+    narrow-int vector ops; _check_int16_bounds is kept for when it does.)
   - grid = (window_tile, position_tile): each grid step consumes a [R, 128]
     tile of pre-expanded read chars and produces [R, 128] tiles of end-cell
-    scores / start pointers; the 128 positions within a tile are a
-    statically-unrolled loop, so every lane index is static. dp/sp state
-    lives in VMEM scratch and persists across position tiles.
+    scores / start pointers via a 4x-unrolled fori_loop (a full static
+    unroll compiles pathologically; pure fori_loop pays loop-carry
+    overhead), with every lane index static. dp/sp state lives in VMEM
+    scratch and persists across position tiles.
   - the same-column deletion fold is a log2(L) shift-and-max ladder along
     lanes carrying (score, block-start) pairs with the earliest-tie rule
     (the landing cell of the reference's backward deletion walk,
@@ -61,6 +65,24 @@ def _neg(dtype) -> int:
     return -(1 << 30) if dtype == jnp.int32 else -(1 << 13)
 
 
+# ---- packed-roll parameters (see _dp_kernel docnotes) -----------------------
+# The kernel is roll-THROUGHPUT bound: wall time fits 80ms + ~12ms per
+# pltpu.roll in the body (measured v5e, [576,256] tiles), while elementwise
+# ops fuse into the rolls for free. Packing (score, start-pointer) into one
+# int32 halves the ladder's rolls (16 -> 8) and the diag/ins shift (2 -> 1):
+#   v = (score + PACK_BIAS) << PACK_PB | pointer
+# Safe iff scores fit 17 bits biased and pointers fit PACK_PB bits; checked
+# statically in _can_pack, with the unpacked ladder kept as fallback.
+PACK_PB = 13
+PACK_MASK = (1 << PACK_PB) - 1
+PACK_BIAS = 1 << 16
+
+
+def _can_pack(W_in: int, L: int, ins, dele, mismatch, match) -> bool:
+    unit = max(abs(x) for x in (ins, dele, mismatch, match))
+    return (W_in + 2 * L) * unit < (1 << 16) and W_in + 1 < (1 << PACK_PB)
+
+
 def _check_int16_bounds(W: int, L: int, ins, dele, mismatch, match) -> bool:
     """int16 state is safe iff no reachable intermediate can leave
     [-2^15, 2^15): magnitudes are bounded by (W + L)*max|unit| for real
@@ -89,6 +111,7 @@ def _dp_kernel(
     mismatch: int,
     match: int,
     dtype,
+    packed: bool,
 ):
     R = BT * m_pad
     NEG = _neg(dtype)
@@ -109,7 +132,7 @@ def _dp_kernel(
     # lane*del ramp (the off*del term cancels inside the prefix max)
     k_del = ((lane - off) * dele).astype(dtype)
     lane_del = (lane * dele).astype(dtype)
-    rc_tile = rc_ref[...]  # [R, pos_tile]
+    rc_tile = rc_ref[...]
 
     def pair_cummax(t, p):
         # prefix max along lanes, ties keep the earliest lane
@@ -124,6 +147,24 @@ def _dp_kernel(
             s *= 2
         return t, p
 
+    def pair_cummax_packed(t, p):
+        # one roll per step: v = (t+PACK_BIAS)<<PACK_PB | p; the compare runs
+        # on the score field only (ties -> shifted/earliest lane wins via >=).
+        # Invalid-lane NEG sentinels would overflow the shift, so they clamp
+        # to 0 — the minimal biased value, which never wins and whose lanes
+        # are re-masked by the next step's where(valid, ., NEG) anyway.
+        tb = jnp.maximum(t + PACK_BIAS, 0)
+        s = 1
+        while s < L:
+            v = (tb << PACK_PB) | p
+            v_sh = jnp.where(lane >= s, pltpu.roll(v, s, 1), 0)
+            tb_sh = v_sh >> PACK_PB
+            take = tb_sh >= tb
+            tb = jnp.maximum(tb_sh, tb)
+            p = jnp.where(take, v_sh & PACK_MASK, p)
+            s *= 2
+        return tb - PACK_BIAS, p
+
     def group_max(end_v):
         # per-window chain score: max over each m_pad-row group of the [R, 1]
         # end column (int32 reduce: Mosaic lacks narrow-int reductions)
@@ -134,20 +175,12 @@ def _dp_kernel(
             parts.append(jnp.full((m_pad, 1), jnp.max(seg), dtype=jnp.int32))
         return jnp.concatenate(parts, axis=0).astype(dtype)  # [R, 1]
 
-    def body(s, carry):
-        # fori_loop, not a static unroll (a 128x-unrolled body compiles
-        # pathologically slowly). All lane indices stay static: the
-        # per-position read-char column rides a roll-by-1 carry, and the
-        # per-position end/spend outputs accumulate by shift-left-append.
-        dp, sp, rc_r, endacc, spendacc = carry
-        i = t_tile * pos_tile + s + 1  # global read position (traced scalar)
+    def body_common(i, dp, sp, dp_sh, sp_sh, rc_r):
         rc = rc_r[:, :1]  # [R, 1]
         mm = jnp.where(mono == rc, match, mismatch).astype(dtype)
         chain_i = group_max(dp[:, L - 1 : L])  # end cell IS the last lane
         enter = chain_i + mm + k_del
-        dp_sh = pltpu.roll(dp, 1, 1)
         diag = jnp.where(first, NEG, dp_sh + mm)  # no diag into k == 0
-        sp_sh = pltpu.roll(sp, 1, 1)
         insr = dp + ins  # unmasked: the k==0 equality check is deliberate
         cand = jnp.maximum(enter, jnp.maximum(diag, jnp.where(first, NEG, insr)))
         cand = jnp.where(valid, cand, NEG)
@@ -156,21 +189,75 @@ def _dp_kernel(
         candstart = jnp.where(
             cand == insr, sp, jnp.where(cand == diag, sp_sh, jnp.asarray(i, dtype))
         )
-        tv, sp = pair_cummax(cand - lane_del, candstart)
-        dp = tv + lane_del
-        endacc = jnp.concatenate([endacc[:, 1:], dp[:, L - 1 :]], axis=1)
-        spendacc = jnp.concatenate([spendacc[:, 1:], sp[:, L - 1 :]], axis=1)
-        return dp, sp, pltpu.roll(rc_r, pos_tile - 1, 1), endacc, spendacc
+        return cand, candstart
 
-    dp, sp, _, endacc, spendacc = jax.lax.fori_loop(
-        0, pos_tile, body,
-        (dp_s[...], sp_s[...], rc_tile,
-         jnp.zeros((R, pos_tile), dtype), jnp.zeros((R, pos_tile), dtype)),
-    )
-    end_out[...] = endacc
-    spend_out[...] = spendacc
-    dp_s[...] = dp
-    sp_s[...] = sp
+    # Both bodies are fori_loops, not static unrolls (a 128x-unrolled body
+    # compiles pathologically slowly). All lane indices stay static: the
+    # per-position read-char column rides a roll-by-1 carry, and per-position
+    # outputs accumulate by shift-left-append.
+    if packed:
+        # roll-minimal body: (dp, sp) ride ONE packed carry for the diag/ins
+        # shift, the ladder rolls one packed array, and (end, spend) emit as
+        # one packed column: 10 rolls/step vs 19 unpacked (~1.25x measured —
+        # the kernel is roll-throughput bound, see header note).
+        def one(i, dp, sp, w, rc_r, outacc):
+            w_sh = pltpu.roll(w, 1, 1)
+            dp_sh = (w_sh >> PACK_PB) - PACK_BIAS
+            sp_sh = w_sh & PACK_MASK
+            cand, candstart = body_common(i, dp, sp, dp_sh, sp_sh, rc_r)
+            tv, sp = pair_cummax_packed(cand - lane_del, candstart)
+            dp = tv + lane_del
+            w = (jnp.maximum(dp + PACK_BIAS, 0) << PACK_PB) | sp
+            outacc = jnp.concatenate([outacc[:, 1:], w[:, L - 1 :]], axis=1)
+            return dp, sp, w, pltpu.roll(rc_r, pos_tile - 1, 1), outacc
+
+        # modest 4x unroll amortizes loop-carry overhead (~7% measured);
+        # the 4x~40-op body still compiles in seconds (vs the pathological
+        # full-128 static unroll)
+        UNROLL = 4 if pos_tile % 4 == 0 else 1
+
+        def body(s, carry):
+            dp, sp, w, rc_r, outacc = carry
+            i = t_tile * pos_tile + s * UNROLL + 1
+            for u in range(UNROLL):
+                dp, sp, w, rc_r, outacc = one(i + u, dp, sp, w, rc_r, outacc)
+            return dp, sp, w, rc_r, outacc
+
+        dp0v = dp_s[...]
+        sp0v = sp_s[...]
+        w0 = (jnp.maximum(dp0v + PACK_BIAS, 0) << PACK_PB) | sp0v
+        dp, sp, _, _, outacc = jax.lax.fori_loop(
+            0, pos_tile // UNROLL, body,
+            (dp0v, sp0v, w0, rc_tile, jnp.zeros((R, pos_tile), jnp.int32)),
+        )
+        # unpack the emitted column; clamped pad/invalid rows come back as
+        # -PACK_BIAS, still strictly below every real score
+        end_out[...] = (outacc >> PACK_PB) - PACK_BIAS
+        spend_out[...] = outacc & PACK_MASK
+        dp_s[...] = dp
+        sp_s[...] = sp
+    else:
+        def body(s, carry):
+            dp, sp, rc_r, endacc, spendacc = carry
+            i = t_tile * pos_tile + s + 1  # global read position
+            dp_sh = pltpu.roll(dp, 1, 1)
+            sp_sh = pltpu.roll(sp, 1, 1)
+            cand, candstart = body_common(i, dp, sp, dp_sh, sp_sh, rc_r)
+            tv, sp = pair_cummax(cand - lane_del, candstart)
+            dp = tv + lane_del
+            endacc = jnp.concatenate([endacc[:, 1:], dp[:, L - 1 :]], axis=1)
+            spendacc = jnp.concatenate([spendacc[:, 1:], sp[:, L - 1 :]], axis=1)
+            return dp, sp, pltpu.roll(rc_r, pos_tile - 1, 1), endacc, spendacc
+
+        dp, sp, _, endacc, spendacc = jax.lax.fori_loop(
+            0, pos_tile, body,
+            (dp_s[...], sp_s[...], rc_tile,
+             jnp.zeros((R, pos_tile), dtype), jnp.zeros((R, pos_tile), dtype)),
+        )
+        end_out[...] = endacc
+        spend_out[...] = spendacc
+        dp_s[...] = dp
+        sp_s[...] = sp
 
 
 def _init_column(windows, mono_t, lens_t, dele, mismatch, match, m_pad, dtype):
@@ -279,9 +366,11 @@ def chain_dp_forward_pallas(
         windows_p, mono_all, lens_all, dele, mismatch, match, m_pad, dtype
     )
 
+    packed = dtype == jnp.int32 and _can_pack(W_in, L_pad, ins, dele, mismatch, match)
     kernel = partial(
         _dp_kernel, L=L_pad, BT=BT, m_pad=m_pad, pos_tile=pos_tile,
         ins=ins, dele=dele, mismatch=mismatch, match=match, dtype=dtype,
+        packed=packed,
     )
     interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
     end_rest, spend_rest = pl.pallas_call(
