@@ -23,6 +23,10 @@ fixtures in tests/fixtures/align_cases.json):
     (src/edlib.cpp:269-272), with the traceback's local preference
     up > left > diagonal (src/edlib.cpp:1023-1088) reproduced by forward
     move recording (see ops/identity.py for the equivalence argument).
+  - memory-bounded path: like the reference (src/edlib.cpp:1188-1213),
+    pairs whose move table exceeds a size bound switch to Hirschberg
+    divide-and-conquer (_hirschberg_ops) — O(Lq+Lt) memory, a co-optimal
+    path with deterministic split ties, batched per recursion level.
 """
 
 from __future__ import annotations
@@ -157,9 +161,8 @@ def _pad_batch(codes: list[np.ndarray], mult: int = 16) -> tuple[np.ndarray, np.
     return arr, lens
 
 
-def _moves_to_cigar(moves: np.ndarray, qlen: int, tlen: int, extended: bool) -> str:
-    """Walk moves[j, i] back from (qlen, tlen), emit the CIGAR string
-    (run-length, query-perspective; src/edlib.cpp:298-347)."""
+def _moves_to_ops(moves: np.ndarray, qlen: int, tlen: int) -> list[int]:
+    """Walk moves[j, i] back from (qlen, tlen) to the edit-op list."""
     i, j = qlen, tlen
     ops: list[int] = []
     while i > 0 or j > 0:
@@ -178,6 +181,12 @@ def _moves_to_cigar(moves: np.ndarray, qlen: int, tlen: int, extended: bool) -> 
             i -= 1
             j -= 1
     ops.reverse()
+    return ops
+
+
+def _ops_to_cigar(ops: list[int], extended: bool) -> str:
+    """Run-length encode an edit-op list into a CIGAR string
+    (query-perspective; src/edlib.cpp:298-347)."""
     chars = _EXT_CHAR if extended else _STD_CHAR
     out: list[str] = []
     pos = 0
@@ -190,6 +199,109 @@ def _moves_to_cigar(moves: np.ndarray, qlen: int, tlen: int, extended: bool) -> 
         out.append(f"{run - pos}{c}")
         pos = run
     return "".join(out)
+
+
+def _moves_to_cigar(moves: np.ndarray, qlen: int, tlen: int, extended: bool) -> str:
+    return _ops_to_cigar(_moves_to_ops(moves, qlen, tlen), extended)
+
+
+# ---------------------------------------------------------------------------
+# Memory-bounded PATH: Hirschberg divide & conquer
+# ---------------------------------------------------------------------------
+# Mirrors the reference's algorithm switch (src/edlib.cpp:1188-1213: full
+# traceback while the table fits a memory bound, else
+# obtainAlignmentHirschberg, src/edlib.cpp:1234-1400): pairs whose move
+# matrix would exceed MOVES_CELL_LIMIT cells take the divide-and-conquer
+# route in O(Lq+Lt) memory. Like the reference, the two routes return
+# (possibly different) co-optimal paths: Hirschberg splits are resolved with
+# a deterministic smallest-row tie rule, the base cases reuse the canonical
+# up>left>diag move recorder, and the reported cost always equals the exact
+# edit distance (asserted in tests on both validity and optimality).
+MOVES_CELL_LIMIT = 1 << 22  # ~4 MB of move codes per pair
+
+
+def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
+                    cell_limit: int = MOVES_CELL_LIMIT) -> list[int]:
+    """Edit-op list of an optimal NW alignment of (q, t) without ever
+    materializing an O(Lq*Lt) table. The recursion is processed level by
+    level so every split's forward/backward last rows — exactly what
+    dp_lastrow_batch computes — run as ONE device batch per level."""
+    # power-of-two padded batches: recursion levels roughly halve problem
+    # sizes, so shapes repeat across levels and runs instead of compiling a
+    # fresh megabase-length scan per level (a compile storm measured at ~6x
+    # the actual compute)
+    def _pad_pow2(codes):
+        arr, lens = _pad_batch(codes, mult=1)
+        L = 1 << max(4, int(np.ceil(np.log2(max(1, arr.shape[1])))))
+        n = 1 << max(0, int(np.ceil(np.log2(len(codes)))))
+        out = np.zeros((n, L), dtype=np.uint8)
+        out[: len(codes), : arr.shape[1]] = arr
+        return out, np.pad(lens, (0, n - len(codes)))
+
+    # ordered segments: ("ops", list) resolved | ("task", q, t) pending
+    segments: list[tuple] = [("task", q, t)]
+    while any(s[0] == "task" for s in segments):
+        # classify pending tasks: trivial, base (move matrix fits), split
+        base: list[int] = []
+        jobs: list[int] = []
+        fwd_q, fwd_t, bwd_q, bwd_t = [], [], [], []
+        for si, seg in enumerate(segments):
+            if seg[0] != "task":
+                continue
+            _, sq, st = seg
+            lq, lt = len(sq), len(st)
+            if lq == 0:
+                segments[si] = ("ops", [EDOP_DELETE] * lt)
+            elif lt == 0:
+                segments[si] = ("ops", [EDOP_INSERT] * lq)
+            elif lt == 1 or (lq + 1) * (lt + 1) <= cell_limit:
+                # lt == 1 must be a base case (a split's jm would be 0 and
+                # never make progress); its move tensor is only 2*(lq+1) cells
+                base.append(si)
+            else:
+                jm = lt // 2
+                jobs.append(si)
+                # fwd[i] = dist(q[:i], t[:jm]) = lastrow(t[:jm], q)[i]
+                fwd_q.append(st[:jm].copy())
+                fwd_t.append(sq)
+                # bwd[Lq-i] = dist(q[i:], t[jm:]) = lastrow(rev t2, rev q)[Lq-i]
+                bwd_q.append(st[jm:][::-1].copy())
+                bwd_t.append(sq[::-1].copy())
+        # resolve base tasks in bounded bites (the [n, Lt+1, Lq+1] move
+        # tensor of a batch must stay well under HBM)
+        for bs in range(0, len(base), 16):
+            part = base[bs : bs + 16]
+            qb, qlb = _pad_pow2([segments[si][1] for si in part])
+            tb, tlb = _pad_pow2([segments[si][2] for si in part])
+            _, moves = dp_moves_batch(qb, qlb, tb, tlb)
+            moves = np.asarray(moves)
+            for ii, si in enumerate(part):
+                _, sq, st = segments[si]
+                segments[si] = ("ops", _moves_to_ops(moves[ii], len(sq), len(st)))
+        if not jobs:
+            continue
+        q_all, ql_all = _pad_pow2(fwd_q + bwd_q)
+        t_all, tl_all = _pad_pow2(fwd_t + bwd_t)
+        rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all))
+        nj = len(jobs)
+        # replace each split task by (left half, right half) in order;
+        # reverse iteration keeps earlier segment indices valid
+        for rev_i in range(nj - 1, -1, -1):
+            si = jobs[rev_i]
+            _, sq, st = segments[si]
+            lq, lt = len(sq), len(st)
+            jm = lt // 2
+            f = rows[rev_i, : lq + 1]
+            b = rows[nj + rev_i, : lq + 1][::-1]  # b[i] = dist(q[i:], t[jm:])
+            i_star = int(np.argmin(f + b))  # smallest row on ties
+            segments[si : si + 1] = [
+                ("task", sq[:i_star].copy(), st[:jm].copy()),
+                ("task", sq[i_star:].copy(), st[jm:].copy()),
+            ]
+    out: list[int] = []
+    for seg in segments:
+        out.extend(seg[1])
+    return out
 
 
 def align_batch(
@@ -274,7 +386,10 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
 
     cigars: list[str | None] = [None] * n
     if task == "path":
-        # NW path on (q, t[start0:end0+1]) for the first location pair
+        # NW path on (q, t[start0:end0+1]) for the first location pair.
+        # Pairs whose move matrix would blow MOVES_CELL_LIMIT take the
+        # Hirschberg route (O(Lq+Lt) memory, src/edlib.cpp:1188-1213).
+        extended = cigar_format == "extended"
         idx2: list[int] = []
         pqs: list[np.ndarray] = []
         pts: list[np.ndarray] = []
@@ -285,9 +400,13 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
             if e0 < 0:
                 cigars[p] = f"{len(qs[p])}I" if len(qs[p]) else ""
                 continue
+            sub_t = ts[p][s0 : e0 + 1].copy()
+            if (len(qs[p]) + 1) * (len(sub_t) + 1) > MOVES_CELL_LIMIT:
+                cigars[p] = _ops_to_cigar(_hirschberg_ops(qs[p], sub_t), extended)
+                continue
             idx2.append(p)
             pqs.append(qs[p])
-            pts.append(ts[p][s0 : e0 + 1].copy())
+            pts.append(sub_t)
         if idx2:
             pq, pql = _pad_batch(pqs)
             pt, ptl = _pad_batch(pts)
@@ -295,7 +414,7 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
             moves = np.asarray(moves)
             for ii, p in enumerate(idx2):
                 cigars[p] = _moves_to_cigar(
-                    moves[ii], int(pql[ii]), int(ptl[ii]), cigar_format == "extended"
+                    moves[ii], int(pql[ii]), int(ptl[ii]), extended
                 )
 
     out = []

@@ -71,3 +71,95 @@ def test_pip_edlib_result_shape(align_cases):
     assert r["editDistance"] == c["ed"]
     assert r["cigar"] == c["cigar"]
     assert r["locations"] == [(0, len(c["t"]) - 1)]
+
+
+# ---------------------------------------------------------------------------
+# Memory-bounded PATH (Hirschberg; src/edlib.cpp:1188-1400)
+# ---------------------------------------------------------------------------
+def _validate_ops(ops, q, t, expect_dist):
+    """An op list is a valid OPTIMAL alignment: consumes q and t exactly,
+    '='/'X' agree with the characters, and its cost equals the exact
+    edit distance."""
+    from stringdecomposer_tpu.ops.align import (
+        EDOP_DELETE, EDOP_INSERT, EDOP_MATCH, EDOP_MISMATCH,
+    )
+
+    i = j = cost = 0
+    for op in ops:
+        if op == EDOP_INSERT:
+            i += 1
+            cost += 1
+        elif op == EDOP_DELETE:
+            j += 1
+            cost += 1
+        else:
+            assert (q[i] == t[j]) == (op == EDOP_MATCH), (i, j, op)
+            cost += int(op == EDOP_MISMATCH)
+            i += 1
+            j += 1
+    assert i == len(q) and j == len(t)
+    assert cost == expect_dist, (cost, expect_dist)
+
+
+def _ref_dist(q, t):
+    import numpy as np
+
+    from stringdecomposer_tpu.ops.align import _pad_batch, dp_lastrow_batch
+
+    qb, ql = _pad_batch([q])
+    tb, tl = _pad_batch([t])
+    return int(np.asarray(dp_lastrow_batch(qb, ql, tb, tl))[0, len(t)])
+
+
+def test_hirschberg_valid_and_optimal():
+    """Tiny cell_limit forces deep recursion on modest pairs; the resulting
+    path must be a valid optimal alignment at O(Lq+Lt) memory."""
+    import numpy as np
+
+    from stringdecomposer_tpu.ops.align import _encode_any, _hirschberg_ops
+
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for lq, lt in [(150, 150), (300, 80), (80, 300), (257, 256), (1, 500),
+                   (500, 1), (199, 201)]:
+        q = rng.choice(alpha, lq).astype(np.uint8)
+        if rng.random() < 0.5:
+            t = q.copy()
+            for _ in range(max(1, lt // 10)):
+                p = int(rng.integers(len(t)))
+                t[p] = rng.choice(alpha)
+            t = t[:lt] if len(t) >= lt else np.concatenate(
+                [t, rng.choice(alpha, lt - len(t)).astype(np.uint8)])
+        else:
+            t = rng.choice(alpha, lt).astype(np.uint8)
+        ops = _hirschberg_ops(q, t, cell_limit=256)
+        _validate_ops(ops, q, t, _ref_dist(q, t))
+
+
+def test_align_batch_big_pair_routes_to_hirschberg(monkeypatch):
+    """align_batch path task on a pair above MOVES_CELL_LIMIT: no move
+    matrix, CIGAR still a valid optimal alignment; small pairs in the same
+    batch keep their canonical (fixture-pinned) CIGARs."""
+    import re
+
+    import numpy as np
+
+    import stringdecomposer_tpu.ops.align as A
+
+    monkeypatch.setattr(A, "MOVES_CELL_LIMIT", 64 * 64)
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    big_q = rng.choice(alpha, 300).astype(np.uint8)
+    big_t = np.concatenate([big_q[:150], rng.choice(alpha, 160).astype(np.uint8)])
+    small_q, small_t = b"ACGT", b"AGGT"
+    rs = A.align_batch([big_q, small_q], [big_t, small_t], task="path")
+    # small pair: canonical moves-path CIGAR
+    assert rs[1]["cigar"] == "1=1X2="
+    # big pair: expand CIGAR to ops, validate
+    ops = []
+    code = {"=": A.EDOP_MATCH, "X": A.EDOP_MISMATCH, "I": A.EDOP_INSERT,
+            "D": A.EDOP_DELETE}
+    for cnt, ch in re.findall(r"(\d+)([=XID])", rs[0]["cigar"]):
+        ops.extend([code[ch]] * int(cnt))
+    _validate_ops(ops, big_q, big_t, rs[0]["editDistance"])
+    assert rs[0]["editDistance"] == _ref_dist(big_q, big_t)

@@ -65,3 +65,37 @@ def test_golden_byte_gate_on_hardware(tmp_path):
         os.path.join(data, "final_decomposition_fc89af8.tsv")
     ) as f_want:
         assert f_got.read() == f_want.read()
+
+
+def test_hirschberg_large_pair_on_hardware(tmp_path):
+    """Memory-bounded PATH on a 50 kbp x 50 kbp pair (a move matrix would be
+    2.5 GB; Hirschberg stays flat) — validity + optimality asserted."""
+    script = tmp_path / "hb.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import numpy as np, resource\n"
+        "from stringdecomposer_tpu.ops.align import (_hirschberg_ops,\n"
+        "    _pad_batch, dp_lastrow_batch, EDOP_INSERT, EDOP_DELETE,\n"
+        "    EDOP_MISMATCH)\n"
+        "rng = np.random.default_rng(1)\n"
+        "alpha = np.frombuffer(b'ACGT', dtype=np.uint8)\n"
+        "N = 50_000\n"
+        "q = rng.choice(alpha, N).astype(np.uint8)\n"
+        "t = q.copy(); idx = rng.integers(0, N, N // 25)\n"
+        "t[idx] = rng.choice(alpha, len(idx))\n"
+        "ops = _hirschberg_ops(q, t)\n"
+        "cost = sum(1 for o in ops if o in (EDOP_INSERT, EDOP_DELETE, EDOP_MISMATCH))\n"
+        "i = sum(1 for o in ops if o != EDOP_DELETE)\n"
+        "j = sum(1 for o in ops if o != EDOP_INSERT)\n"
+        "assert i == N and j == N, (i, j)\n"
+        "qb, ql = _pad_batch([q]); tb, tl = _pad_batch([t])\n"
+        "want = int(np.asarray(dp_lastrow_batch(qb, ql, tb, tl))[0, N])\n"
+        "assert cost == want, (cost, want)\n"
+        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6\n"
+        "assert rss < 8.0, rss  # GB; the full move matrix alone would be 2.5\n"
+        "print('HIRSCHBERG-OK', cost, f'{rss:.1f}GB')\n"
+    )
+    r = _run([str(script)], timeout=1500.0)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "HIRSCHBERG-OK" in r.stdout
