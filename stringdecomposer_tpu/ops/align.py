@@ -55,16 +55,59 @@ def _encode_any(seq) -> np.ndarray:
     return np.frombuffer(str(seq).encode(), dtype=np.uint8)
 
 
+def _equality_luts(codes_list: list[np.ndarray], pairs) -> tuple[np.ndarray, np.ndarray]:
+    """Byte->bitmask and byte->compact-id lookup tables implementing the
+    additionalEqualities relation (src/edlib.h:133-149; symmetric like the
+    reference's equalityDefinitions matrix, src/edlib.cpp:1429-1437).
+    Compact alphabet = the bytes actually present; must fit 32 symbols."""
+    present = np.zeros(256, dtype=bool)
+    for c in codes_list:
+        present[np.unique(c)] = True
+    symbols = np.flatnonzero(present)
+    if len(symbols) > 32:
+        raise ValueError(
+            f"additionalEqualities supports alphabets up to 32 distinct "
+            f"symbols ({len(symbols)} present)"
+        )
+    ids = np.full(256, 0, dtype=np.int32)
+    ids[symbols] = np.arange(len(symbols), dtype=np.int32)
+    eq = np.zeros((256, 256), dtype=bool)
+    eq[symbols, symbols] = True
+    for a, b in pairs:
+        ca = ord(a) if isinstance(a, str) else int(a)
+        cb = ord(b) if isinstance(b, str) else int(b)
+        eq[ca, cb] = eq[cb, ca] = True
+    mask_lut = np.zeros(256, dtype=np.int32)
+    for b in symbols:
+        mask_lut[b] = int(sum(1 << int(ids[s]) for s in symbols if eq[b, s]))
+    return mask_lut, ids
+
+
 # ---------------------------------------------------------------------------
 # Device kernels
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("free_target_prefix",))
+def _sub_fn(qcol, tchar, use_mask):
+    """Substitution cost row: 0 where query/target chars are "equal".
+
+    use_mask=False: qcol holds raw codes, plain equality. use_mask=True:
+    qcol holds per-position int32 bitmasks over a compact alphabet and
+    tchar holds compact symbol ids — ((qmask >> id) & 1) implements the
+    additionalEqualities relation (src/edlib.h:133-149) with two cheap
+    vector ops and no gather (alphabet must fit 32 symbols; IUPAC's 16 do).
+    """
+    if use_mask:
+        return 1 - ((qcol >> tchar[:, None]) & 1)
+    return jnp.where(qcol == tchar[:, None], 0, 1)
+
+
+@partial(jax.jit, static_argnames=("free_target_prefix", "use_mask"))
 def dp_lastrow_batch(
-    q: jnp.ndarray,  # [P, Lq] uint8/int32 codes
+    q: jnp.ndarray,  # [P, Lq] uint8/int32 codes (bitmasks if use_mask)
     q_lens: jnp.ndarray,  # [P] int32
     t: jnp.ndarray,  # [P, Lt]
     t_lens: jnp.ndarray,  # [P] int32 (only used by callers for masking)
     free_target_prefix: bool = False,  # True for HW
+    use_mask: bool = False,
 ) -> jnp.ndarray:
     """Last DP row per pair: out[p, j] = dist(q[p][:q_len], t[p][:j]) for
     j = 0..Lt (entries past t_len are garbage; callers mask)."""
@@ -73,7 +116,8 @@ def dp_lastrow_batch(
     q = q.astype(jnp.int32)
     t = t.astype(jnp.int32)
     i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)
-    qcol = jnp.concatenate([jnp.full((P, 1), -1, jnp.int32), q], axis=1)
+    boundary_code = jnp.zeros((P, 1), jnp.int32) if use_mask else jnp.full((P, 1), -1, jnp.int32)
+    qcol = jnp.concatenate([boundary_code, q], axis=1)
     qmask = i_idx[None, :] == q_lens[:, None]
 
     def capture(C):
@@ -83,7 +127,7 @@ def dp_lastrow_batch(
 
     def step(C, j):
         tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
-        sub = jnp.where(qcol == tchar[:, None], 0, 1)
+        sub = _sub_fn(qcol, tchar, use_mask)
         left = C + 1
         diag = jnp.concatenate([jnp.full((P, 1), BIG, jnp.int32), C[:, :-1]], axis=1) + sub
         cand = jnp.minimum(left, diag)
@@ -96,9 +140,10 @@ def dp_lastrow_batch(
     return jnp.concatenate([capture(C0)[:, None], rows.T], axis=1)  # [P, Lt+1]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("use_mask",))
 def dp_moves_batch(
-    q: jnp.ndarray, q_lens: jnp.ndarray, t: jnp.ndarray, t_lens: jnp.ndarray
+    q: jnp.ndarray, q_lens: jnp.ndarray, t: jnp.ndarray, t_lens: jnp.ndarray,
+    use_mask: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Global-NW move matrix for the PATH task.
 
@@ -113,13 +158,14 @@ def dp_moves_batch(
     q = q.astype(jnp.int32)
     t = t.astype(jnp.int32)
     i_idx = jnp.arange(Lq + 1, dtype=jnp.int32)
-    qcol = jnp.concatenate([jnp.full((P, 1), -1, jnp.int32), q], axis=1)
+    boundary_code = jnp.zeros((P, 1), jnp.int32) if use_mask else jnp.full((P, 1), -1, jnp.int32)
+    qcol = jnp.concatenate([boundary_code, q], axis=1)
     qmask = i_idx[None, :] == q_lens[:, None]
     C0 = jnp.broadcast_to(i_idx[None, :], (P, Lq + 1))
 
     def step(C, j):
         tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
-        sub = jnp.where(qcol == tchar[:, None], 0, 1)
+        sub = _sub_fn(qcol, tchar, use_mask)
         left = C + 1
         diag = jnp.concatenate([jnp.full((P, 1), BIG, jnp.int32), C[:, :-1]], axis=1) + sub
         cand = jnp.minimum(left, diag)
@@ -153,7 +199,8 @@ def _pad_batch(codes: list[np.ndarray], mult: int = 16) -> tuple[np.ndarray, np.
     n = len(codes)
     L = max(1, max((len(c) for c in codes), default=1))
     L = (L + mult - 1) // mult * mult
-    arr = np.zeros((n, L), dtype=np.uint8)
+    dtype = codes[0].dtype if codes else np.uint8
+    arr = np.zeros((n, L), dtype=dtype)
     lens = np.zeros(n, dtype=np.int32)
     for i, c in enumerate(codes):
         arr[i, : len(c)] = c
@@ -221,11 +268,24 @@ MOVES_CELL_LIMIT = 1 << 22  # ~4 MB of move codes per pair
 
 
 def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
-                    cell_limit: int = MOVES_CELL_LIMIT) -> list[int]:
-    """Edit-op list of an optimal NW alignment of (q, t) without ever
-    materializing an O(Lq*Lt) table. The recursion is processed level by
-    level so every split's forward/backward last rows — exactly what
-    dp_lastrow_batch computes — run as ONE device batch per level."""
+                    cell_limit: int = MOVES_CELL_LIMIT,
+                    luts: tuple[np.ndarray, np.ndarray] | None = None) -> list[int]:
+    """With `luts` = (mask_lut, id_lut), q/t are RAW byte codes and every DP
+    call transforms on the fly — necessary because the recursion's
+    forward/backward sweeps SWAP query/target roles (the symmetry
+    dist(a, b) = dist(b, a) holds for the relation, but the bitmask/id
+    representations are role-specific)."""
+    # Edit-op list of an optimal NW alignment of (q, t) without ever
+    # materializing an O(Lq*Lt) table. The recursion is processed level by
+    # level so every split's forward/backward last rows — exactly what
+    # dp_lastrow_batch computes — run as ONE device batch per level.
+    use_mask = luts is not None
+    if use_mask:
+        mask_lut, id_lut = luts
+        as_q = lambda x: mask_lut[x]
+        as_t = lambda x: id_lut[x].astype(np.uint8)
+    else:
+        as_q = as_t = lambda x: x
     # power-of-two padded batches: recursion levels roughly halve problem
     # sizes, so shapes repeat across levels and runs instead of compiling a
     # fresh megabase-length scan per level (a compile storm measured at ~6x
@@ -271,18 +331,19 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
         # tensor of a batch must stay well under HBM)
         for bs in range(0, len(base), 16):
             part = base[bs : bs + 16]
-            qb, qlb = _pad_pow2([segments[si][1] for si in part])
-            tb, tlb = _pad_pow2([segments[si][2] for si in part])
-            _, moves = dp_moves_batch(qb, qlb, tb, tlb)
+            qb, qlb = _pad_pow2([as_q(segments[si][1]) for si in part])
+            tb, tlb = _pad_pow2([as_t(segments[si][2]) for si in part])
+            _, moves = dp_moves_batch(qb, qlb, tb, tlb, use_mask=use_mask)
             moves = np.asarray(moves)
             for ii, si in enumerate(part):
                 _, sq, st = segments[si]
                 segments[si] = ("ops", _moves_to_ops(moves[ii], len(sq), len(st)))
         if not jobs:
             continue
-        q_all, ql_all = _pad_pow2(fwd_q + bwd_q)
-        t_all, tl_all = _pad_pow2(fwd_t + bwd_t)
-        rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all))
+        q_all, ql_all = _pad_pow2([as_q(x) for x in fwd_q + bwd_q])
+        t_all, tl_all = _pad_pow2([as_t(x) for x in fwd_t + bwd_t])
+        rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all,
+                                           use_mask=use_mask))
         nj = len(jobs)
         # replace each split task by (left half, right half) in order;
         # reverse iteration keeps earlier segment indices valid
@@ -312,10 +373,13 @@ def align_batch(
     k: int = -1,
     cigar_format: str = "extended",
     chunk: int = 4096,
+    additional_equalities: list[tuple] | None = None,
 ) -> list[dict]:
     """Batched edlibAlign (src/edlib.cpp:141-296): one result dict per pair
     with keys editDistance, endLocations, startLocations, cigar — identical
-    values to the reference library (see tests/test_align.py)."""
+    values to the reference library (see tests/test_align.py).
+    `additional_equalities`: (charA, charB) pairs treated as equal in the
+    DP, exactly like EdlibEqualityPair (src/edlib.h:133-149)."""
     assert mode in ("NW", "SHW", "HW")
     assert task in ("distance", "locations", "path")
     P = len(queries)
@@ -326,17 +390,31 @@ def align_batch(
             _align_chunk(
                 [_encode_any(x) for x in queries[s : s + chunk]],
                 [_encode_any(x) for x in targets[s : s + chunk]],
-                mode, task, k, cigar_format,
+                mode, task, k, cigar_format, additional_equalities,
             )
         )
     return results
 
 
-def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
+def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[dict]:
+    use_mask = equalities is not None
+    luts = None
+    qs_raw, ts_raw = qs, ts
+    if use_mask:
+        # queries become per-position bitmasks over the compact alphabet,
+        # targets become compact ids; the reversed-SHW start pass and the
+        # batched path reuse these (slicing/reversing preserves per-position
+        # transforms). Hirschberg gets the RAW arrays + LUTs because its
+        # sweeps swap query/target roles.
+        luts = _equality_luts(qs + ts, equalities)
+        mask_lut, id_lut = luts
+        qs = [mask_lut[x] for x in qs]
+        ts = [id_lut[x].astype(np.uint8) for x in ts]
     q, ql = _pad_batch(qs)
     t, tl = _pad_batch(ts)
     n = len(qs)
-    rows = np.asarray(dp_lastrow_batch(q, ql, t, tl, free_target_prefix=(mode == "HW")))
+    rows = np.asarray(dp_lastrow_batch(
+        q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask))
 
     dists = np.empty(n, dtype=np.int64)
     ends: list[list[int]] = []
@@ -371,7 +449,7 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
             if idx:
                 rq, rql = _pad_batch(rqs)
                 rt, rtl = _pad_batch(rts)
-                rrows = np.asarray(dp_lastrow_batch(rq, rql, rt, rtl))
+                rrows = np.asarray(dp_lastrow_batch(rq, rql, rt, rtl, use_mask=use_mask))
             for p in range(n):
                 if found[p]:
                     starts[p] = [0] * len(ends[p])
@@ -402,7 +480,9 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
                 continue
             sub_t = ts[p][s0 : e0 + 1].copy()
             if (len(qs[p]) + 1) * (len(sub_t) + 1) > MOVES_CELL_LIMIT:
-                cigars[p] = _ops_to_cigar(_hirschberg_ops(qs[p], sub_t), extended)
+                cigars[p] = _ops_to_cigar(
+                    _hirschberg_ops(qs_raw[p], ts_raw[p][s0 : e0 + 1].copy(),
+                                    luts=luts), extended)
                 continue
             idx2.append(p)
             pqs.append(qs[p])
@@ -410,7 +490,7 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
         if idx2:
             pq, pql = _pad_batch(pqs)
             pt, ptl = _pad_batch(pts)
-            _, moves = dp_moves_batch(pq, pql, pt, ptl)
+            _, moves = dp_moves_batch(pq, pql, pt, ptl, use_mask=use_mask)
             moves = np.asarray(moves)
             for ii, p in enumerate(idx2):
                 cigars[p] = _moves_to_cigar(
@@ -435,10 +515,13 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format) -> list[dict]:
     return out
 
 
-def align(query, target, mode: str = "NW", task: str = "distance", k: int = -1) -> dict:
-    """Single-pair convenience with the pip-edlib result shape
-    (main.py:34 uses align(...)['editDistance'] / ['cigar'])."""
-    r = align_batch([query], [target], mode=mode, task=task, k=k)[0]
+def align(query, target, mode: str = "NW", task: str = "distance", k: int = -1,
+          additionalEqualities: list | None = None) -> dict:
+    """Single-pair convenience with the pip-edlib result shape and argument
+    names (main.py:34 uses align(...)['editDistance'] / ['cigar'];
+    additionalEqualities matches the pip binding's keyword)."""
+    r = align_batch([query], [target], mode=mode, task=task, k=k,
+                    additional_equalities=additionalEqualities)[0]
     if r["editDistance"] == -1:
         return {"editDistance": -1, "locations": [], "cigar": None}
     starts = r["startLocations"] or [None] * len(r["endLocations"])

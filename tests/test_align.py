@@ -163,3 +163,71 @@ def test_align_batch_big_pair_routes_to_hirschberg(monkeypatch):
         ops.extend([code[ch]] * int(cnt))
     _validate_ops(ops, big_q, big_t, rs[0]["editDistance"])
     assert rs[0]["editDistance"] == _ref_dist(big_q, big_t)
+
+
+# ---------------------------------------------------------------------------
+# additionalEqualities (src/edlib.h:133-149)
+# ---------------------------------------------------------------------------
+def test_additional_equalities_reference_parity():
+    """60 reference-edlib-generated cases with IUPAC-style equality pairs
+    (N~ACGT, R~AG, Y~CT, plus subset configs), all modes x path x k."""
+    import json
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures" / "edlib_eq_cases.json"
+    with open(fixtures) as f:
+        cases = json.load(f)
+    full = [("N", "A"), ("N", "C"), ("N", "G"), ("N", "T"),
+            ("R", "A"), ("R", "G"), ("Y", "C"), ("Y", "T")]
+    for c in cases:
+        eqs = full[: c["npairs"]]
+        r = align_batch([c["q"]], [c["t"]], mode=c["mode"], task="path",
+                        k=c["k"], additional_equalities=eqs)[0]
+        assert r["editDistance"] == c["ed"], (c["q"], c["t"], c["mode"])
+        if c["ed"] < 0:
+            continue
+        assert r["endLocations"] == c["endLocations"], (c["q"], c["t"], c["mode"])
+        if c["startLocations"]:
+            assert r["startLocations"] == c["startLocations"], (c["q"], c["t"])
+        assert r["cigar"] == c["cigar"], (c["q"], c["t"], c["mode"])
+
+
+def test_equalities_hirschberg_route(monkeypatch):
+    """Equality-aware path through the memory-bounded route: distance equal
+    to the mask-space DP, CIGAR a valid optimal alignment under the
+    relation."""
+    import re
+
+    import numpy as np
+
+    import stringdecomposer_tpu.ops.align as A
+
+    monkeypatch.setattr(A, "MOVES_CELL_LIMIT", 48 * 48)
+    rng = np.random.default_rng(9)
+    alpha = list(b"ACGTNRY")
+    q = bytes(rng.choice(alpha, 220).tolist())
+    t = bytes(rng.choice(alpha, 260).tolist())
+    eqs = [("N", "A"), ("N", "C"), ("N", "G"), ("N", "T"),
+           ("R", "A"), ("R", "G"), ("Y", "C"), ("Y", "T")]
+    r = A.align_batch([q], [t], task="path", additional_equalities=eqs)[0]
+    # reference distance from the plain (small) route
+    want = align_batch([q], [t], task="distance", additional_equalities=eqs)[0]
+    assert r["editDistance"] == want["editDistance"]
+    # validate the CIGAR against the equality relation
+    eq = {(a, b) for a, b in eqs} | {(b, a) for a, b in eqs}
+    def same(x, y):
+        cx, cy = chr(x), chr(y)
+        return cx == cy or (cx, cy) in eq
+    i = j = cost = 0
+    for cnt, ch in re.findall(r"(\d+)([=XID])", r["cigar"]):
+        for _ in range(int(cnt)):
+            if ch == "I":
+                i += 1; cost += 1
+            elif ch == "D":
+                j += 1; cost += 1
+            else:
+                assert same(q[i], t[j]) == (ch == "="), (i, j, ch)
+                cost += ch == "X"
+                i += 1; j += 1
+    assert (i, j) == (len(q), len(t))
+    assert cost == r["editDistance"]
