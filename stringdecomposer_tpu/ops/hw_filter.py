@@ -219,3 +219,34 @@ def filter_monomers(
         if dist_row[idx] <= ed_thr:
             keep.append(idx)
     return np.asarray(keep, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("ed_thr",))
+def filter_monomers_device(
+    dist: jnp.ndarray,  # [B, M] int32 HW distances
+    mono: jnp.ndarray,  # [M, L] int8 monomer codes
+    mono_lens: jnp.ndarray,  # [M] int32
+    ed_thr: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device-side batched filter_monomers: the (distance, index) ordering
+    and keep rule of src/main.cpp:135-149, producing the per-window DP
+    monomer tensor ON DEVICE. For large monomer libraries (M >> 24) this
+    replaces a host-side [B, M, L] rebuild + upload per batch with two
+    argsorts and a row gather that never leave HBM; only the tiny [B, M]
+    permutation (for mapping block monomer ids back to input indices)
+    returns to the host.
+
+    Returns (mono_w [B, M, L], lens_w [B, M] with dropped rows = 0,
+    perm [B, M] original indices in DP order)."""
+    B, M = dist.shape
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    # ascending (distance, input index) == the reference lexsort
+    order = jnp.argsort(dist * jnp.int32(M) + idx, axis=1)
+    dist_sorted = jnp.take_along_axis(dist, order, axis=1)
+    kept = (idx == 0) | (dist_sorted <= ed_thr)
+    # stable-compact kept rows to the front, preserving the sorted order
+    order2 = jnp.argsort(jnp.where(kept, 0, jnp.int32(M)) + idx, axis=1)
+    perm = jnp.take_along_axis(order, order2, axis=1)
+    n_keep = kept.sum(axis=1)
+    lens_w = jnp.where(idx < n_keep[:, None], mono_lens[perm], 0)
+    return mono[perm], lens_w, perm

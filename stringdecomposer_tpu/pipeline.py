@@ -161,19 +161,20 @@ def decompose_reads(
             perms = None
             if cfg.ed_thr > -1:
                 # per-chunk monomer pre-filter (src/main.cpp:128-149): subset
-                # and (distance, index) ordering are tie-breaking-relevant
-                from .ops.hw_filter import filter_monomers, resolve_hw_distance
+                # and (distance, index) ordering are tie-breaking-relevant.
+                # Selection + gather run ON DEVICE (filter_monomers_device):
+                # for real HOR libraries (M >> 24) the per-window monomer
+                # tensor never leaves HBM; only the [B, M] index permutation
+                # (to map block ids back) comes to the host.
+                import jax.numpy as jnp
 
-                dist = np.asarray(resolve_hw_distance()(wbatch, wlens, mono, mono_lens))
-                mono_b = np.full((B_eff, M, L), 5, dtype=np.int8)
-                lens_b = np.zeros((B_eff, M), dtype=np.int32)
-                perms = []
-                for b in range(B_eff):
-                    keep = filter_monomers(dist[b], cfg.ed_thr)
-                    mono_b[b, : len(keep)] = mono[keep]
-                    lens_b[b, : len(keep)] = mono_lens[keep]
-                    perms.append(keep)
-                fwd_mono, fwd_lens = mono_b, lens_b
+                from .ops.hw_filter import filter_monomers_device, resolve_hw_distance
+
+                dist = resolve_hw_distance()(wbatch, wlens, mono, mono_lens)
+                fwd_mono, fwd_lens, perm_d = filter_monomers_device(
+                    dist, jnp.asarray(mono), jnp.asarray(mono_lens), cfg.ed_thr
+                )
+                perms = np.asarray(perm_d)
             else:
                 fwd_mono, fwd_lens = mono, mono_lens
             # cap the per-window block records shipped to the host: real
