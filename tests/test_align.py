@@ -231,3 +231,45 @@ def test_equalities_hirschberg_route(monkeypatch):
                 i += 1; j += 1
     assert (i, j) == (len(q), len(t))
     assert cost == r["editDistance"]
+
+
+# ---------------------------------------------------------------------------
+# k-banded NW (Ukkonen band; src/edlib.cpp:559-571)
+# ---------------------------------------------------------------------------
+def test_banded_nw_matches_full():
+    """Banded and full NW agree on the whole k-threshold contract
+    (editDistance when <= k, -1 when above), over random and near-identical
+    pairs and boundary ks."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    alpha = list(b"ACGT")
+    qs, ts = [], []
+    for lq, lt in [(300, 300), (300, 295), (280, 310), (64, 64), (33, 31)]:
+        q = bytes(rng.choice(alpha, lq).tolist())
+        if rng.random() < 0.6:  # near-identical: small true distance
+            t = bytearray(q[:lt].ljust(lt, b"A"))
+            for _ in range(4):
+                t[int(rng.integers(lt))] = int(rng.choice(alpha))
+            t = bytes(t)
+        else:
+            t = bytes(rng.choice(alpha, lt).tolist())
+        qs.append(q)
+        ts.append(t)
+    for k in [0, 1, 3, 8, 20, 50]:
+        got = align_batch(qs, ts, mode="NW", task="distance", k=k)
+        want = align_batch(qs, ts, mode="NW", task="distance", k=-1)
+        for p, (g, w) in enumerate(zip(got, want)):
+            expect = w["editDistance"] if w["editDistance"] <= k else -1
+            assert g["editDistance"] == expect, (p, k, g, w)
+
+
+def test_banded_nw_with_path_and_equalities():
+    """Banded distance gate composes with the path task and equalities."""
+    r = align_batch(["ACGTNCGT"], ["ACGTACGA"], mode="NW", task="path", k=2,
+                    additional_equalities=[("N", "A")])[0]
+    assert r["editDistance"] == 1
+    assert r["cigar"] == "7=1X"
+    r2 = align_batch(["ACGTACGT" * 20], ["TTTT" * 40], mode="NW",
+                     task="path", k=3)[0]
+    assert r2["editDistance"] == -1 and r2["cigar"] is None
