@@ -115,11 +115,30 @@ def _blocks_x_monomers(
     totals = np.zeros((Nb, M), dtype=np.int64)
     if Nb == 0:
         return matches, totals
+    for s, n, mt, ln in _dispatch_blocks_x_monomers(blocks, targets, kernel,
+                                                    block_chunk):
+        matches[s : s + n] = np.asarray(mt).reshape(-1, M)[:n]
+        totals[s : s + n] = np.asarray(ln).reshape(-1, M)[:n]
+    return matches, totals
+
+
+def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=2048):
+    """Queue every chunk's device call WITHOUT syncing; yields
+    (start, n, matches_dev, totals_dev) so the caller (or a zipped pair of
+    dispatchers, see _finish_group) gathers results while the device chews
+    through the queue — JAX's async dispatch keeps the chip busy across the
+    chunk boundary that a per-chunk np.asarray would serialize."""
+    import jax.numpy as jnp
+
+    Nb, M = len(blocks), len(targets)
+    if Nb == 0:
+        return []
     t, tl = _pad_codes(targets)
-    td, tld = jnp.asarray(t), jnp.asarray(tl)
+    td = jnp.asarray(t)
     Lq_all = max(1, max(len(b) for b in blocks))
     Lq_all = (Lq_all + 127) // 128 * 128
     bc = min(block_chunk, -(-Nb // 8) * 8)
+    pending = []
     for s in range(0, Nb, bc):
         part = blocks[s : s + bc]
         q = np.zeros((bc, Lq_all), dtype=np.int8)  # pad rows: len-0 queries
@@ -136,10 +155,8 @@ def _blocks_x_monomers(
         ts = jnp.tile(td, (bc, 1))
         tls = np.tile(tl, bc)
         _, mt, ln = kernel(qs, qls, ts, tls)
-        n = len(part)
-        matches[s : s + n] = np.asarray(mt).reshape(bc, M)[:n]
-        totals[s : s + n] = np.asarray(ln).reshape(bc, M)[:n]
-    return matches, totals
+        pending.append((s, len(part), mt, ln))
+    return pending
 
 
 def _pad_codes(codes: list[np.ndarray], mult: int = 128) -> tuple[np.ndarray, np.ndarray]:
@@ -235,9 +252,22 @@ def _finish_group(
     if second_best:
         # blocks upload once; the M-fold pair expansion happens ON DEVICE
         # (jnp.repeat/tile), so host->device traffic is 2*M times smaller
-        # than shipping explicit pairs
-        mt_raw, ln_raw = _blocks_x_monomers(subs, mono_codes)
-        mt_homo, ln_homo = _blocks_x_monomers(homo_subs, homo_codes)
+        # than shipping explicit pairs. Raw and homo variants are BOTH
+        # dispatched before either is gathered: the device queue stays full
+        # while the host materializes results.
+        kernel = _resolve_identity_kernel()
+        M_ = len(mono_codes)
+        pend_raw = _dispatch_blocks_x_monomers(subs, mono_codes, kernel)
+        pend_homo = _dispatch_blocks_x_monomers(homo_subs, homo_codes, kernel)
+        mt_raw = np.zeros((len(subs), M_), dtype=np.int64)
+        ln_raw = np.zeros((len(subs), M_), dtype=np.int64)
+        mt_homo = np.zeros((len(homo_subs), M_), dtype=np.int64)
+        ln_homo = np.zeros((len(homo_subs), M_), dtype=np.int64)
+        for pend, mt_o, ln_o in ((pend_raw, mt_raw, ln_raw),
+                                 (pend_homo, mt_homo, ln_homo)):
+            for s, cn, mt, ln in pend:
+                mt_o[s : s + cn] = np.asarray(mt).reshape(-1, M_)[:cn]
+                ln_o[s : s + cn] = np.asarray(ln).reshape(-1, M_)[:cn]
     else:
         pairs_t = []
         bi = 0
