@@ -5,42 +5,42 @@ edlib-traceback-exact co-optimal path semantics — see ops/identity.py for the
 up > left > diagonal preference derivation; reference traceback:
 /root/reference/stringdecomposer/src/edlib.cpp:945-1144).
 
-Design (v2): anti-diagonal wavefront instead of a column sweep. On one
-anti-diagonal d = i + j no cell depends on another, so the within-column
-"up"-chain prefix fold (a log2(L)-step roll ladder, ~60 vector ops per
-target position in v1) disappears entirely — each step is ~20 vector ops.
-The kernel is VMEM-bandwidth bound (time ~ ops x vregs), so fewer ops on the
-same tiles is a direct win even though a wavefront takes Lq+Lt steps instead
-of Lt. Measured on v5e: ~3.4x over v1 for the finishing-stage shape mix.
+Design (v3): anti-diagonal wavefront. On one anti-diagonal d = i + j no cell
+depends on another, so there is no within-column prefix fold at all — and on
+this Mosaic build kernels are pltpu.roll-THROUGHPUT bound (wall time ~
+const + ~12 ms/roll at [576,256]; elementwise ops fuse into the rolls for
+free — see ops/chain_dp_pallas.py's roofline note), so the design minimizes
+ROLLED BYTES per step:
+
+  - (D, Ln) ride ONE packed int32 carry (13-bit fields): the per-step
+    diagonal shift is one roll instead of two. matches = columns − distance
+    for any unit-cost path, so nothing else needs to be carried.
+  - target chars ride a 4-PACKED systolic byte buffer: lane l holds the
+    chars for steps d..d+3 in one int32, extracted by a static shift in a
+    4-substep loop body; the buffer rolls by 4 lanes once per 4 steps
+    (0.25 rolls/step instead of 1).
+  - net 1.25 rolls/step vs 3 in v2 (~2x measured on the finishing mix).
 
 Layout: pairs ride sublanes ([R] rows per grid step); QUERY positions ride
 lanes, LEFT-aligned (cell (i, j) of diagonal d = i + j lives at lane i), so
 every input prep is a static shift — no per-row roll/gather in the XLA
-prologue (per-row gathers cost more than the kernel itself at this size):
+prologue:
 
-  up   (i-1, j)   = previous diagonal, lane-1  -> rolled carry  (Ar)
-  left (i, j-1)   = previous diagonal, lane    -> carry         (A)
-  diag (i-1, j-1) = diagonal d-2,      lane-1  -> rolled carry  (Br = old Ar)
-
-Target chars flow through a circular [R, L] buffer rolled one lane per step
-(classic systolic alignment: lane i reads t[d-1-i] on diagonal d; requires
-tlen <= L and qlen <= L-2, guaranteed by the wrapper's choice of L).
+  up   (i-1, j)   = previous diagonal, lane-1  -> rolled carry  (wAr)
+  left (i, j-1)   = previous diagonal, lane    -> carry         (wA)
+  diag (i-1, j-1) = diagonal d-2,      lane-1  -> rolled carry  (wBr = old wAr)
 
 The capture cell (qlen, tlen) sits at per-pair lane qlen on per-pair
-diagonal qlen+tlen: snapshots are written into full-width arrays when
-d == qlen+tlen ([R,1] broadcast; slicing a single lane per step would force
-a narrow-vector relayout costing ~3x the arithmetic body) and the lane is
-extracted once at the end by a masked lane-reduction (no gather).
+diagonal qlen+tlen: snapshots are written into a full-width array ([R,1]
+broadcast; slicing a single lane per step forces a narrow-vector relayout
+costing ~3x the arithmetic body) and the lane is extracted once at the end
+by a masked lane-reduction (no gather).
 
-Two structural savings over v1:
-  - matches = columns - distance for ANY unit-cost path (columns =
-    ma+mm+ins+del, distance = mm+ins+del), so only (D, Ln) are tracked and
-    Ln's update is "+1" for all three moves — no (Mt, Ln) bit-packing.
-  - no boundary ops in the loop: with junk lanes initialised to BIG, the
-    i=0 / j=0 boundary rows emerge from the recurrence itself (the up /
-    left rules reproduce D=d, Ln=d at the wavefront edges, and BIG-valued
-    junk — monotone under {+0,+1} updates — can never win a min against
-    real scores).
+Boundary-free loop: junk lanes hold the max 13-bit D (8191, re-clamped each
+step); the i=0 / j=0 boundary rows emerge from the recurrence itself (the
+up / left rules reproduce D=d, Ln=d at the wavefront edges, and saturated
+junk can never win a min against real scores). Pairs whose wavefront would
+exceed the 13-bit field range fall back to the lax.scan backend.
 """
 
 from __future__ import annotations
@@ -53,68 +53,69 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = np.int32(1 << 28)
 PAIR_TILE = 256  # pairs per grid step (sublanes; VMEM-bounded)
 T_TILE = 128  # kept for API compat with v1 callers (unused)
+
+FB = 13  # packed field bits: w = (D << FB) | Ln
+FMAX = (1 << FB) - 1  # 8191; also the junk-lane D sentinel
 
 
 def _nw_wavefront_kernel(
     qv_ref,  # [R, L] int32 query chars: lane i holds q[i-1] (lane 0 junk)
-    tb_ref,  # [R, L] int32 systolic target buffer for d=1 (see wrapper)
+    tb_ref,  # [R, L] int32 4-packed target chars for steps 1..4 (see wrapper)
     qlen_ref,  # [R, 1] int32 query lengths (capture lane)
     dsum_ref,  # [R, 1] int32 qlen + tlen (capture diagonal)
     out_ref,  # [R, 8] int32: cols (D, Ln, 0...) at cell (qlen, tlen)
     *,
     L: int,
-    n_steps: int,
+    n_steps: int,  # multiple of 4
 ):
     R = qv_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
     qv = qv_ref[...]
     dsum = dsum_ref[...]
 
-    def body(d, carry):
-        A, Ar, Br, Pa, Par, Pbr, B, oD, oP = carry
-        sub = jnp.where(qv == B, 0, 1)
-        up = Ar + 1
-        left = A + 1
-        diag = Br + sub
+    def substep(d, u, wA, wAr, wBr, B4, oW):
+        tch = (B4 >> (8 * u)) & 255
+        sub = jnp.where(qv == tch, 0, 1)
+        up = (wAr >> FB) + 1
+        left = (wA >> FB) + 1
+        diag = (wBr >> FB) + sub
         take_up = (up <= left) & (up <= diag)
         take_left = left <= diag
-        Dn = jnp.minimum(jnp.minimum(up, left), diag)
-        Pn = jnp.where(take_up, Par, jnp.where(take_left, Pa, Pbr)) + 1
-        hit = d == dsum
-        oD = jnp.where(hit, Dn, oD)
-        oP = jnp.where(hit, Pn, oP)
-        return (
-            Dn, pltpu.roll(Dn, 1, 1), Ar,
-            Pn, pltpu.roll(Pn, 1, 1), Par,
-            pltpu.roll(B, 1, 1), oD, oP,
+        Dn = jnp.minimum(jnp.minimum(jnp.minimum(up, left), diag), FMAX)
+        # Ln clamps too: junk-lane payloads grow +1/step and must never
+        # carry into the D field (real Ln <= n_steps < FMAX is unaffected)
+        Pn = jnp.minimum(
+            (jnp.where(take_up, wAr, jnp.where(take_left, wA, wBr)) & FMAX) + 1,
+            FMAX,
         )
+        wN = (Dn << FB) | Pn
+        oW = jnp.where(d == dsum, wN, oW)
+        return wN, pltpu.roll(wN, 1, 1), wAr, oW
 
-    # diagonal 0: cell (0,0) = (D=0, Ln=0) at lane 0; all other lanes BIG
-    # junk. Payload junk lanes may hold anything (payloads are carried,
-    # never compared); every init mixes in data-dependent values so no
+    def body(s, carry):
+        wA, wAr, wBr, B4, oW = carry
+        d = 4 * s + 1
+        for u in range(4):
+            wA, wAr, wBr, oW = substep(d + u, u, wA, wAr, wBr, B4, oW)
+        return wA, wAr, wBr, pltpu.roll(B4, 4, 1), oW
+
+    # diagonal 0: cell (0,0) = (D=0, Ln=0) at lane 0; junk lanes saturate at
+    # D=FMAX (monotone under the clamped min). Ln junk grows by +1/step and
+    # stays < FMAX by the wrapper's n_steps bound. Inits mix in qlen so no
     # carry starts in a replicated vector layout (Mosaic cannot relayout
     # concrete -> replicated at the loop back-edge).
     start = lane == 0
-    # junk lanes get BIG + qlen / lane + qlen: the qlen mix keeps the init
-    # row-dependent (non-foldable), junk magnitude stays >= BIG
-    D0 = jnp.where(start, 0, BIG + qlen_ref[...])
-    D0r = pltpu.roll(D0, 1, 1)
-    P0 = jnp.where(start, 0, lane + qlen_ref[...])
-    P0r = pltpu.roll(P0, 1, 1)
-    init = (
-        D0, D0r, D0r + BIG,
-        P0, P0r, P0r, tb_ref[...], D0 * 0, P0 * 0,
-    )
-    out = jax.lax.fori_loop(1, n_steps + 1, body, init)
+    w0 = jnp.where(start, 0, (FMAX << FB) | ((lane + qlen_ref[...]) & FMAX))
+    w0r = pltpu.roll(w0, 1, 1)
+    init = (w0, w0r, w0r | (FMAX << FB), tb_ref[...], w0 * 0)
+    out = jax.lax.fori_loop(0, n_steps // 4, body, init)
     # extract per-pair lane qlen with a masked lane-reduction (gather-free)
     onehot = lane == qlen_ref[...]
-    oD = jnp.sum(jnp.where(onehot, out[7], 0), axis=1, keepdims=True)
-    oP = jnp.sum(jnp.where(onehot, out[8], 0), axis=1, keepdims=True)
+    oW = jnp.sum(jnp.where(onehot, out[4], 0), axis=1, keepdims=True)
     out_ref[...] = jnp.concatenate(
-        [oD, oP, jnp.zeros((R, 6), jnp.int32)], axis=1
+        [oW >> FB, oW & FMAX, jnp.zeros((R, 6), jnp.int32)], axis=1
     )
 
 
@@ -135,9 +136,10 @@ def nw_identity_batch_pallas(
     alignment per pair.
 
     Host-side prologue (kept out of jit): the wavefront length is the data's
-    actual max(qlen+tlen) rounded up to 32 — up to ~25% fewer steps than the
+    actual max(qlen+tlen) rounded up — up to ~25% fewer steps than the
     padded Lq+Lt would force. Pass NumPy length vectors to keep this free of
-    a device sync.
+    a device sync. Pairs beyond the packed 13-bit field range (qlen+tlen >
+    8189) fall back to the exact lax.scan backend.
     """
     ql_np = np.asarray(q_lens, dtype=np.int32)
     tl_np = np.asarray(t_lens, dtype=np.int32)
@@ -146,11 +148,15 @@ def nw_identity_batch_pallas(
     max_q = int(ql_np.max()) if P else 0
     max_t = int(tl_np.max()) if P else 0
     # +2 (not +1): keeps lane L-1 junk for every pair, so the circular
-    # lane-0 <- lane-(L-1) wraparound of the rolls only ever lands on BIG
-    # junk and can never contaminate a real cell. The systolic buffer
-    # shares the lane array, so L must also hold the longest target.
-    L = _round_up(max(max_q + 2, max_t), 128)
-    n_steps = _round_up(max(max_q + max_t, 1), 32)
+    # lane-0 <- lane-(L-1) wraparound of the rolls only ever lands on junk
+    # and can never contaminate a real cell. The systolic buffer shares the
+    # lane array, so L must also hold the longest target (+4 packing slack).
+    L = _round_up(max(max_q + 2, max_t + 4), 128)
+    n_steps = _round_up(max(max_q + max_t, 1), 4)
+    if n_steps + 1 >= FMAX:
+        from .identity import nw_identity_batch
+
+        return nw_identity_batch(q, jnp.asarray(ql_np), t, jnp.asarray(tl_np))
     return _nw_wave_jit(
         q, jnp.asarray(ql_np), t, jnp.asarray(tl_np),
         pair_tile=pair_tile, L=L, n_steps=n_steps,
@@ -161,8 +167,8 @@ def nw_identity_batch_pallas(
 def _nw_wave_jit(q, q_lens, t, t_lens, pair_tile, L, n_steps):
     P, Lq = q.shape
     _, Lt = t.shape
-    # VMEM budget: ~9 carried [R, L] arrays + 2 inputs, keep under ~8 MB
-    fit = max(8, ((8 << 20) // (L * 44)) // 8 * 8)
+    # VMEM budget: ~6 carried [R, L] arrays + inputs, keep under ~8 MB
+    fit = max(8, ((8 << 20) // (L * 32)) // 8 * 8)
     R = min(pair_tile, fit, max(8, _round_up(P, 8)))
     P_pad = _round_up(max(P, 1), R)
 
@@ -170,13 +176,19 @@ def _nw_wave_jit(q, q_lens, t, t_lens, pair_tile, L, n_steps):
     qv = jnp.pad(q.astype(jnp.int32), ((0, P_pad - P), (1, max(0, L - Lq - 1))),
                  constant_values=-7)[:, :L]
     ql = jnp.pad(q_lens.astype(jnp.int32), (0, P_pad - P))
-    tp = jnp.pad(t.astype(jnp.int32), ((0, P_pad - P), (0, max(0, L - Lt))),
-                 constant_values=-9)[:, :L]
+    tp = jnp.pad(t.astype(jnp.int32) & 255,
+                 ((0, P_pad - P), (0, max(0, L - Lt))),
+                 constant_values=254)[:, :L]
     tl = jnp.pad(t_lens.astype(jnp.int32), (0, P_pad - P))
-    # systolic target buffer at d=1: lane i reads t[d-1-i] -> B_1[l] =
-    # t[(-l) mod L] = reverse(tp) rolled right by one — a static shift,
-    # identical for every pair (no per-row gather)
-    tb = jnp.roll(tp[:, ::-1], 1, axis=1)
+    # 4-packed systolic buffer for steps 1..4: lane l needs t[d-1-l] at step
+    # d, so field u holds t[u-l] -> reverse(tp) rolled right by 1+u, fields
+    # OR-ed into one int32 (byte values; 254 pad can never equal a query
+    # char, and junk-cell comparisons are harmless anyway)
+    rev = tp[:, ::-1]
+    tb = (jnp.roll(rev, 1, axis=1)
+          | (jnp.roll(rev, 2, axis=1) << 8)
+          | (jnp.roll(rev, 3, axis=1) << 16)
+          | (jnp.roll(rev, 4, axis=1) << 24))
 
     kernel = partial(_nw_wavefront_kernel, L=L, n_steps=n_steps)
     interpret = jax.default_backend() == "cpu"
