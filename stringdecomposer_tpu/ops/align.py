@@ -79,9 +79,13 @@ def _equality_luts(codes_list: list[np.ndarray], pairs) -> tuple[np.ndarray, np.
         ca = ord(a) if isinstance(a, str) else int(a)
         cb = ord(b) if isinstance(b, str) else int(b)
         eq[ca, cb] = eq[cb, ca] = True
-    mask_lut = np.zeros(256, dtype=np.int32)
+    # build in int64 then reinterpret: a mask using bit 31 (exactly 32
+    # symbols) overflows a direct int32 assignment, but the kernels' shift
+    # and-1 extraction is bit-pattern exact either way
+    mask64 = np.zeros(256, dtype=np.int64)
     for b in symbols:
-        mask_lut[b] = int(sum(1 << int(ids[s]) for s in symbols if eq[b, s]))
+        mask64[b] = sum(1 << int(ids[s]) for s in symbols if eq[b, s])
+    mask_lut = mask64.astype(np.uint32).view(np.int32)
     return mask_lut, ids
 
 
@@ -363,7 +367,7 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
         arr, lens = _pad_batch(codes, mult=1)
         L = 1 << max(4, int(np.ceil(np.log2(max(1, arr.shape[1])))))
         n = 1 << max(0, int(np.ceil(np.log2(len(codes)))))
-        out = np.zeros((n, L), dtype=np.uint8)
+        out = np.zeros((n, L), dtype=arr.dtype)  # int32 for equality bitmasks
         out[: len(codes), : arr.shape[1]] = arr
         return out, np.pad(lens, (0, n - len(codes)))
 

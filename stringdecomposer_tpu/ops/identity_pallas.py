@@ -152,7 +152,10 @@ def nw_identity_batch_pallas(
     # and can never contaminate a real cell. The systolic buffer shares the
     # lane array, so L must also hold the longest target (+4 packing slack).
     L = _round_up(max(max_q + 2, max_t + 4), 128)
-    n_steps = _round_up(max(max_q + max_t, 1), 4)
+    # 64-granularity bounds compiled variants (per-chunk max lengths jitter
+    # by a few bases; a 4-granular n_steps would recompile the kernel for
+    # nearly every chunk) while keeping most of the fewer-steps win
+    n_steps = _round_up(max(max_q + max_t, 1), 64)
     if n_steps + 1 >= FMAX:
         from .identity import nw_identity_batch
 

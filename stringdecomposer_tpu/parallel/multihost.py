@@ -108,6 +108,13 @@ class _HeartbeatThread:
     def __exit__(self, *exc) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # a left-behind .alive from a finished run would bypass the
+        # "never-heartbeated -> grace from wait start" fallback on the NEXT
+        # run into the same out_dir and get a healthy host declared dead
+        try:
+            os.remove(self._path)
+        except OSError:
+            pass
 
 
 def _wait_for(
@@ -277,7 +284,7 @@ def run_multihost(
         # drop any stale sentinel/fragment BEFORE recomputing: host 0 must
         # never observe an old-fingerprint sentinel next to a mid-rewrite
         # fragment (silently-wrong-merge race on rerun into a reused out_dir)
-        for stale in (_sentinel(frag), frag, frag + ".reads"):
+        for stale in (_sentinel(frag), frag, frag + ".reads", _heartbeat(frag)):
             try:
                 os.remove(stale)
             except OSError:

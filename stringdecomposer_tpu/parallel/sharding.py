@@ -52,20 +52,33 @@ def make_sharded_forward(mesh: Mesh | None = None, inner_fn=None):
                 mismatch=-1, match=1, max_blocks=0):
         B = windows.shape[0]
         B_pad = (B + n_dev - 1) // n_dev * n_dev
+        # per-window monomer tensors (the ed_thr route, rank 3) shard on the
+        # window axis alongside the windows; the shared rank-2 tensor
+        # replicates
+        per_window = getattr(mono, "ndim", 2) == 3
         if B_pad != B:
             pad = B_pad - B
             windows = np.concatenate([windows, np.repeat(windows[-1:], pad, axis=0)])
             window_lens = np.concatenate([window_lens, np.repeat(window_lens[-1:], pad)])
+            if per_window:
+                import jax.numpy as jnp
+
+                mono = jnp.concatenate([mono, jnp.repeat(mono[-1:], pad, axis=0)])
+                mono_lens = jnp.concatenate(
+                    [mono_lens, jnp.repeat(mono_lens[-1:], pad, axis=0)]
+                )
 
         inner = partial(
             inner_fn,
             ins=ins, dele=dele, mismatch=mismatch, match=match,
             max_blocks=max_blocks or windows.shape[1],
         )
+        mono_spec = P("data", None, None) if per_window else P(None, None)
+        lens_spec = P("data", None) if per_window else P(None)
         sharded = shard_map(
             inner,
             mesh=mesh,
-            in_specs=(P("data", None), P("data"), P(None, None), P(None)),
+            in_specs=(P("data", None), P("data"), mono_spec, lens_spec),
             out_specs=(P("data", None, None), P("data")),
             check_rep=False,
         )

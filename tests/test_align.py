@@ -273,3 +273,52 @@ def test_banded_nw_with_path_and_equalities():
     r2 = align_batch(["ACGTACGT" * 20], ["TTTT" * 40], mode="NW",
                      task="path", k=3)[0]
     assert r2["editDistance"] == -1 and r2["cigar"] is None
+
+
+def test_equalities_32_symbol_alphabet():
+    """Exactly 32 distinct symbols: the top bitmask bit (bit 31) must not
+    overflow the int32 LUT (round-2 review regression)."""
+    syms = bytes(range(65, 97))  # 32 distinct bytes
+    q = syms
+    t = syms[::-1]
+    eqs = [(chr(syms[0]), chr(syms[-1]))]
+    r = align_batch([q], [t], task="distance", additional_equalities=eqs)[0]
+    r_plain = align_batch([q], [t], task="distance")[0]
+    # the (first, last) equality saves exactly the two end mismatches
+    assert r["editDistance"] <= r_plain["editDistance"]
+    assert r["editDistance"] >= 0
+
+
+def test_equalities_wide_alphabet_hirschberg(monkeypatch):
+    """>8 distinct symbols through the memory-bounded path: equality
+    bitmasks need int32 all the way down (a uint8 pad buffer silently
+    truncated bits 8+; round-2 review regression)."""
+    import re
+
+    import numpy as np
+
+    import stringdecomposer_tpu.ops.align as A
+
+    monkeypatch.setattr(A, "MOVES_CELL_LIMIT", 32 * 32)
+    rng = np.random.default_rng(13)
+    syms = list(b"ABCDEFGHIJKL")  # 12 symbols -> ids up to 11
+    q = bytes(rng.choice(syms, 150).tolist())
+    t = bytes(rng.choice(syms, 160).tolist())
+    eqs = [("K", "A"), ("L", "B")]  # equalities touching high compact ids
+    r = A.align_batch([q], [t], task="path", additional_equalities=eqs)[0]
+    want = A.align_batch([q], [t], task="distance", additional_equalities=eqs)[0]
+    assert r["editDistance"] == want["editDistance"]
+    eq = {("K", "A"), ("A", "K"), ("L", "B"), ("B", "L")}
+    i = j = cost = 0
+    for cnt, ch in re.findall(r"(\d+)([=XID])", r["cigar"]):
+        for _ in range(int(cnt)):
+            if ch == "I":
+                i += 1; cost += 1
+            elif ch == "D":
+                j += 1; cost += 1
+            else:
+                same = q[i] == t[j] or (chr(q[i]), chr(t[j])) in eq
+                assert same == (ch == "="), (i, j, ch)
+                cost += ch == "X"
+                i += 1; j += 1
+    assert (i, j) == (len(q), len(t)) and cost == r["editDistance"]

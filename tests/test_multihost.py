@@ -222,3 +222,24 @@ def test_coordinator_path(case):
     assert _read(multi / "final_decomposition.tsv") == _read(
         single / "final_decomposition.tsv"
     )
+
+
+def test_stale_heartbeat_cleaned_before_recompute(case):
+    """A .alive file left by a previous run must be removed before the DP
+    stage (and on heartbeat exit): host 0's dead-host check would otherwise
+    see an hours-old mtime and declare a merely-slow host dead (round-2
+    review regression)."""
+    from stringdecomposer_tpu.parallel.multihost import _heartbeat, fragment_path
+
+    seqs, mono, tmp = case
+    out = tmp / "stale_hb"
+    out.mkdir()
+    frag1 = fragment_path(str(out), "final_decomposition", 1)
+    with open(_heartbeat(frag1), "w") as f:
+        f.write("0")  # ancient heartbeat from a "previous run"
+    for h in [1, 0]:
+        run_multihost(seqs, mono, out_dir=str(out),
+                      topology=HostTopology(2, h), **COMMON)
+    # the run succeeded and no stale heartbeat survives for the next run
+    assert not os.path.exists(_heartbeat(frag1))
+    assert (out / "final_decomposition.tsv").exists()

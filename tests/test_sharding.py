@@ -37,3 +37,25 @@ def test_sharded_matches_reference_fixtures(random_cases, n_dev):
             rows.extend(format_raw_rows(rname, blocks, names))
         got = "".join(r + "\n" for r in rows)
         assert got == case["raw"]
+
+
+def test_sharded_ed_thr_matches_single_device():
+    """data_parallel + --ed_thr: per-window monomer tensors shard on the
+    window axis (rank-3 in_specs); output identical to the unsharded run."""
+    mesh = get_mesh(jax.devices()[:4])
+    fwd = make_sharded_forward(mesh)
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    alpha = np.array(list("ACGT"))
+    monos = [Record(f"m{j}", "".join(rng.choice(alpha, 12))) for j in range(3)]
+    monomers = add_reverse_complement(monos)
+    seq = "".join(
+        (monos[int(rng.integers(3))].seq for _ in range(40))
+    )
+    reads = [Record("r0", seq)]
+    cfg = PipelineConfig(part_size=64, overlap=8, device_batch=8, ed_thr=4)
+    want = decompose_reads(reads, monomers, cfg)
+    got = decompose_reads(reads, monomers, cfg, forward_fn=fwd)
+    assert [(n, [(b.monomer, b.start, b.end, b.identity) for b in bl]) for n, bl in got] == \
+           [(n, [(b.monomer, b.start, b.end, b.identity) for b in bl]) for n, bl in want]
