@@ -123,23 +123,26 @@ def _wait_for(
     timeout: float = 3600.0,
     poll: float = 0.2,
     liveness_grace: float = 120.0,
-) -> None:
+    salvage: bool = False,
+) -> list[str]:
     """Block until every sentinel exists with the current fingerprint.
 
     Dead-host detection: a host whose sentinel is missing AND whose
     heartbeat file has not been touched for `liveness_grace` seconds is
-    declared dead — host 0 fails fast with a message naming it instead of
-    silently burning the whole `timeout`. A host that never wrote a
-    heartbeat gets the same grace measured from when the wait began
-    (covers startup/compile skew). The reference has no multi-host story
-    at all (src/main.cpp:103-120 is single-process)."""
+    declared dead. With salvage=False host 0 fails fast with a message
+    naming it (instead of silently burning the whole `timeout`); with
+    salvage=True the stalled sentinel paths are RETURNED so the caller can
+    recompute those shards itself. A host that never wrote a heartbeat
+    gets the same grace measured from when the wait began (covers
+    startup/compile skew). The reference has no multi-host story at all
+    (src/main.cpp:103-120 is single-process)."""
     start_wall = time.time()
     deadline = time.monotonic() + timeout
     missing = list(paths)
     while missing:
         missing = [p for p in missing if not _sentinel_matches(p, fingerprint)]
         if not missing:
-            return
+            return []
         now_wall = time.time()
         stalled = []
         for p in missing:
@@ -151,6 +154,8 @@ def _wait_for(
             if now_wall - last > liveness_grace:
                 stalled.append(p)
         if stalled:
+            if salvage:
+                return stalled
             hosts = ", ".join(
                 p.rsplit(".shard", 1)[1].split(".")[0].lstrip("0") or "0"
                 for p in stalled
@@ -163,6 +168,7 @@ def _wait_for(
         if time.monotonic() > deadline:
             raise TimeoutError(f"timed out waiting for host fragments: {missing}")
         time.sleep(poll)
+    return []
 
 
 def merge_raw_fragments(
@@ -225,6 +231,8 @@ def run_multihost(
     resume: bool = False,
     data_parallel: bool = False,
     barrier_timeout: float = 3600.0,
+    liveness_grace: float = 120.0,
+    salvage_dead_hosts: bool = True,
 ) -> str | None:
     """Full pipeline across hosts. Returns the final TSV path on host 0,
     None on other hosts.
@@ -280,59 +288,84 @@ def run_multihost(
                 "--resume: host %d fragment was produced from different "
                 "inputs; recomputing", topo.host_id,
             )
-    if not resumable:
-        # drop any stale sentinel/fragment BEFORE recomputing: host 0 must
-        # never observe an old-fingerprint sentinel next to a mid-rewrite
-        # fragment (silently-wrong-merge race on rerun into a reused out_dir)
-        for stale in (_sentinel(frag), frag, frag + ".reads", _heartbeat(frag)):
+    ins, dele, mm, match = (int(x) for x in scoring.split(","))
+    cfg = PipelineConfig(
+        scoring=Scoring(ins, dele, mm, match),
+        part_size=batch_size,
+        overlap=overlap,
+        device_batch=device_batch,
+        ed_thr=ed_thr,
+    )
+    forward_fn = None
+    if data_parallel:
+        from .sharding import make_sharded_forward
+
+        forward_fn = make_sharded_forward()
+
+    def compute_shard(host_id: int) -> None:
+        """DP stage for one host's read shard -> fragment + sidecar +
+        sentinel (atomic renames). Deterministic: recomputing a shard on a
+        DIFFERENT machine (dead-host salvage) yields byte-identical files,
+        so even a concurrent late write by the presumed-dead host is
+        harmless."""
+        fragh = fragment_path(out_dir, out_file, host_id)
+        # drop any stale sentinel/fragment/heartbeat BEFORE recomputing:
+        # host 0 must never observe an old-fingerprint sentinel next to a
+        # mid-rewrite fragment (silently-wrong-merge race on rerun into a
+        # reused out_dir)
+        for stale in (_sentinel(fragh), fragh, fragh + ".reads", _heartbeat(fragh)):
             try:
                 os.remove(stale)
             except OSError:
                 pass
-        ins, dele, mm, match = (int(x) for x in scoring.split(","))
-        cfg = PipelineConfig(
-            scoring=Scoring(ins, dele, mm, match),
-            part_size=batch_size,
-            overlap=overlap,
-            device_batch=device_batch,
-            ed_thr=ed_thr,
-        )
-        forward_fn = None
-        if data_parallel:
-            from .sharding import make_sharded_forward
-
-            forward_fn = make_sharded_forward()
-        mine = shard_indices(len(reads), topo)
+        mine = shard_indices(len(reads), HostTopology(topo.num_hosts, host_id))
         local = [reads[i] for i in mine]
         logger.info(
             "host %d/%d: decomposing %d of %d reads",
-            topo.host_id, topo.num_hosts, len(local), len(reads),
+            host_id, topo.num_hosts, len(local), len(reads),
         )
-        with _HeartbeatThread(frag):
+        with _HeartbeatThread(fragh):
             result = decompose_reads(local, monomers_dp, cfg, forward_fn=forward_fn)
             # write-then-rename so a crash mid-write never leaves a truncated
             # fragment that a later merge or --resume could mistake for complete
-            write_raw_tsv(frag + ".tmp", result, [m.name for m in monomers_dp])
-            with open(frag + ".reads.tmp", "w") as f:
+            write_raw_tsv(fragh + ".tmp", result, [m.name for m in monomers_dp])
+            with open(fragh + ".reads.tmp", "w") as f:
                 for r, (_, blocks) in zip(local, result):
                     f.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
-            os.replace(frag + ".tmp", frag)
-            os.replace(frag + ".reads.tmp", frag + ".reads")
-            with open(_sentinel(frag) + ".tmp", "w") as f:
+            os.replace(fragh + ".tmp", fragh)
+            os.replace(fragh + ".reads.tmp", fragh + ".reads")
+            with open(_sentinel(fragh) + ".tmp", "w") as f:
                 f.write(fp + "\n")
-            os.replace(_sentinel(frag) + ".tmp", _sentinel(frag))
+            os.replace(_sentinel(fragh) + ".tmp", _sentinel(fragh))
+
+    if not resumable:
+        compute_shard(topo.host_id)
     else:
         logger.info("host %d: fragment exists, resuming past DP stage", topo.host_id)
 
     if topo.host_id != 0:
         return None
 
-    # host 0: wait for every fragment, merge, finish
-    _wait_for(
+    # host 0: wait for every fragment; salvage shards of hosts that died
+    # (missing sentinel + stale heartbeat) by recomputing them locally,
+    # then merge and finish
+    stalled = _wait_for(
         [_sentinel(fragment_path(out_dir, out_file, h)) for h in range(topo.num_hosts)],
         fp,
         timeout=barrier_timeout,
+        liveness_grace=liveness_grace,
+        salvage=salvage_dead_hosts,
     )
+    if stalled:
+        dead = sorted(
+            int(p.rsplit(".shard", 1)[1].split(".")[0]) for p in stalled
+        )
+        logger.warning(
+            "host(s) %s appear dead (no heartbeat for %.0fs); host 0 is "
+            "salvaging their shards locally", dead, liveness_grace,
+        )
+        for h in dead:
+            compute_shard(h)
     raw_path = merge_raw_fragments(out_dir, out_file, topo, len(reads))
     logger.info("Saved merged raw decomposition to %s", raw_path)
 

@@ -243,3 +243,23 @@ def test_stale_heartbeat_cleaned_before_recompute(case):
     # the run succeeded and no stale heartbeat survives for the next run
     assert not os.path.exists(_heartbeat(frag1))
     assert (out / "final_decomposition.tsv").exists()
+
+
+def test_dead_host_salvage(case):
+    """Host 1 never runs at all; host 0 detects the missing heartbeat,
+    recomputes host 1's shard locally, and produces output byte-identical
+    to a single-host run (self-healing scale-out; the reference has no
+    multi-host story)."""
+    seqs, mono, tmp = case
+    single = tmp / "s_single"
+    multi = tmp / "s_multi"
+    run_single(seqs, mono, out_dir=str(single), **COMMON)
+    out = run_multihost(
+        seqs, mono, out_dir=str(multi),
+        topology=HostTopology(num_hosts=2, host_id=0),
+        liveness_grace=0.5, **COMMON,
+    )
+    assert out is not None
+    for name in ["final_decomposition_raw.tsv", "final_decomposition.tsv",
+                 "final_decomposition_alt.tsv"]:
+        assert _read(multi / name) == _read(single / name), name
