@@ -102,7 +102,7 @@ def _blocks_x_monomers(
     blocks: list[np.ndarray],  # Nb encoded block substrings
     targets: list[np.ndarray],  # M encoded monomer variants
     kernel=None,
-    block_chunk: int = 2048,
+    block_chunk: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(matches, totals) int64 arrays of shape [Nb, M] for every
     (block, monomer) combination. Blocks and monomers are uploaded once;
@@ -122,7 +122,7 @@ def _blocks_x_monomers(
     return matches, totals
 
 
-def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=2048):
+def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=4096):
     """Queue every chunk's device call WITHOUT syncing; yields
     (start, n, matches_dev, totals_dev) so the caller (or a zipped pair of
     dispatchers, see _finish_group) gathers results while the device chews
@@ -141,8 +141,12 @@ def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=2048):
     pending = []
     for s in range(0, Nb, bc):
         part = blocks[s : s + bc]
-        q = np.zeros((bc, Lq_all), dtype=np.int8)  # pad rows: len-0 queries
-        ql = np.zeros(bc, dtype=np.int32)
+        # right-size the tail chunk at 1024 granularity: padding it to the
+        # full chunk would waste up to bc-1 rows of kernel work, while the
+        # coarse granularity keeps the number of compiled shapes bounded
+        n_pad = min(bc, max(8, -(-len(part) // 1024) * 1024))
+        q = np.zeros((n_pad, Lq_all), dtype=np.int8)  # pad rows: len-0 queries
+        ql = np.zeros(n_pad, dtype=np.int32)
         for i, b in enumerate(part):
             q[i, : len(b)] = b
             ql[i] = len(b)
@@ -152,8 +156,8 @@ def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=2048):
         # from max(qlen+tlen) host-side, and a device-resident length vector
         # would force a device->host sync per chunk
         qls = np.repeat(ql, M)
-        ts = jnp.tile(td, (bc, 1))
-        tls = np.tile(tl, bc)
+        ts = jnp.tile(td, (n_pad, 1))
+        tls = np.tile(tl, n_pad)
         _, mt, ln = kernel(qs, qls, ts, tls)
         pending.append((s, len(part), mt, ln))
     return pending
