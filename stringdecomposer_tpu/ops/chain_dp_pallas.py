@@ -175,8 +175,7 @@ def _dp_kernel(
             parts.append(jnp.full((m_pad, 1), jnp.max(seg), dtype=jnp.int32))
         return jnp.concatenate(parts, axis=0).astype(dtype)  # [R, 1]
 
-    def body_common(i, dp, sp, dp_sh, sp_sh, rc_r):
-        rc = rc_r[:, :1]  # [R, 1]
+    def body_common(i, dp, sp, dp_sh, sp_sh, rc):
         mm = jnp.where(mono == rc, match, mismatch).astype(dtype)
         chain_i = group_max(dp[:, L - 1 : L])  # end cell IS the last lane
         enter = chain_i + mm + k_del
@@ -200,28 +199,31 @@ def _dp_kernel(
         # shift, the ladder rolls one packed array, and (end, spend) emit as
         # one packed column: 10 rolls/step vs 19 unpacked (~1.25x measured —
         # the kernel is roll-throughput bound, see header note).
-        def one(i, dp, sp, w, rc_r, outacc):
+        def one(i, rc, dp, sp, w, outacc):
             w_sh = pltpu.roll(w, 1, 1)
             dp_sh = (w_sh >> PACK_PB) - PACK_BIAS
             sp_sh = w_sh & PACK_MASK
-            cand, candstart = body_common(i, dp, sp, dp_sh, sp_sh, rc_r)
+            cand, candstart = body_common(i, dp, sp, dp_sh, sp_sh, rc)
             tv, sp = pair_cummax_packed(cand - lane_del, candstart)
             dp = tv + lane_del
             w = (jnp.maximum(dp + PACK_BIAS, 0) << PACK_PB) | sp
             outacc = jnp.concatenate([outacc[:, 1:], w[:, L - 1 :]], axis=1)
-            return dp, sp, w, pltpu.roll(rc_r, pos_tile - 1, 1), outacc
+            return dp, sp, w, outacc
 
-        # modest 4x unroll amortizes loop-carry overhead (~7% measured);
-        # the 4x~40-op body still compiles in seconds (vs the pathological
-        # full-128 static unroll)
+        # modest 4x unroll amortizes loop-carry overhead (~7% measured; the
+        # 4x~40-op body still compiles in seconds vs the pathological
+        # full-128 static unroll) and lets the read-char tile roll ONCE per
+        # body: substep u reads lane u statically (rolls are the kernel's
+        # unit of cost — see header)
         UNROLL = 4 if pos_tile % 4 == 0 else 1
 
         def body(s, carry):
             dp, sp, w, rc_r, outacc = carry
             i = t_tile * pos_tile + s * UNROLL + 1
             for u in range(UNROLL):
-                dp, sp, w, rc_r, outacc = one(i + u, dp, sp, w, rc_r, outacc)
-            return dp, sp, w, rc_r, outacc
+                dp, sp, w, outacc = one(
+                    i + u, rc_r[:, u : u + 1], dp, sp, w, outacc)
+            return dp, sp, w, pltpu.roll(rc_r, pos_tile - UNROLL, 1), outacc
 
         dp0v = dp_s[...]
         sp0v = sp_s[...]
@@ -242,7 +244,7 @@ def _dp_kernel(
             i = t_tile * pos_tile + s + 1  # global read position
             dp_sh = pltpu.roll(dp, 1, 1)
             sp_sh = pltpu.roll(sp, 1, 1)
-            cand, candstart = body_common(i, dp, sp, dp_sh, sp_sh, rc_r)
+            cand, candstart = body_common(i, dp, sp, dp_sh, sp_sh, rc_r[:, :1])
             tv, sp = pair_cummax(cand - lane_del, candstart)
             dp = tv + lane_del
             endacc = jnp.concatenate([endacc[:, 1:], dp[:, L - 1 :]], axis=1)
