@@ -199,7 +199,7 @@ def _dp_kernel(
         # shift, the ladder rolls one packed array, and (end, spend) emit as
         # one packed column: 10 rolls/step vs 19 unpacked (~1.25x measured —
         # the kernel is roll-throughput bound, see header note).
-        def one(i, rc, dp, sp, w, outacc):
+        def one(i, rc, dp, sp, w):
             w_sh = pltpu.roll(w, 1, 1)
             dp_sh = (w_sh >> PACK_PB) - PACK_BIAS
             sp_sh = w_sh & PACK_MASK
@@ -207,8 +207,7 @@ def _dp_kernel(
             tv, sp = pair_cummax_packed(cand - lane_del, candstart)
             dp = tv + lane_del
             w = (jnp.maximum(dp + PACK_BIAS, 0) << PACK_PB) | sp
-            outacc = jnp.concatenate([outacc[:, 1:], w[:, L - 1 :]], axis=1)
-            return dp, sp, w, outacc
+            return dp, sp, w
 
         # modest 4x unroll amortizes loop-carry overhead (~7% measured; the
         # 4x~40-op body still compiles in seconds vs the pathological
@@ -220,9 +219,12 @@ def _dp_kernel(
         def body(s, carry):
             dp, sp, w, rc_r, outacc = carry
             i = t_tile * pos_tile + s * UNROLL + 1
+            emits = []
             for u in range(UNROLL):
-                dp, sp, w, outacc = one(
-                    i + u, rc_r[:, u : u + 1], dp, sp, w, outacc)
+                dp, sp, w = one(i + u, rc_r[:, u : u + 1], dp, sp, w)
+                emits.append(w[:, L - 1 :])
+            # one shift-append of all UNROLL end columns per body
+            outacc = jnp.concatenate([outacc[:, UNROLL:]] + emits, axis=1)
             return dp, sp, w, pltpu.roll(rc_r, pos_tile - UNROLL, 1), outacc
 
         dp0v = dp_s[...]
