@@ -301,12 +301,37 @@ def _finish_group(
         )
         rows = np.arange(Nb)
         best_score_all = sc_all[rows, best_idx_all] if Nb else np.zeros(0)
-        # second best: mask the best monomer's column per row, first-max wins
-        masked = sc_all.copy()
-        if Nb:
-            masked[rows, best_idx_all] = -np.inf
-        sb_idx_all = masked.argmax(axis=1) if Nb else best_idx_all
-        sb_score_all = masked[rows, sb_idx_all] if Nb else np.zeros(0)
+        # second best over NAMES, not columns: the reference collapses the
+        # score list into a name-keyed dict (main.py:123-126), so with
+        # duplicate monomer names the LAST occurrence's score represents the
+        # name, every column carrying the best block's name is excluded, and
+        # tie-breaking order is the FIRST-occurrence order of names (dict
+        # insertion order). With a single distinct name the reference keeps
+        # (None, -1) — never -inf (round-2 advisor finding).
+        uniq_names: list[str] = []
+        upos: dict[str, int] = {}
+        for nm in mono_names:
+            if nm not in upos:
+                upos[nm] = len(uniq_names)
+                uniq_names.append(nm)
+        last_col = np.zeros(len(uniq_names), dtype=np.int64)
+        for j, nm in enumerate(mono_names):
+            last_col[upos[nm]] = j
+        U = len(uniq_names)
+        if Nb and U > 1:
+            sc_names = sc_all[:, last_col]
+            best_upos_all = np.fromiter(
+                (upos[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+                dtype=np.int64, count=Nb,
+            )
+            masked = sc_names.copy()
+            masked[rows, best_upos_all] = -np.inf
+            sb_u = masked.argmax(axis=1)  # first max == reference's strict <
+            sb_name_all = [uniq_names[u] for u in sb_u]
+            sb_score_all = masked[rows, sb_u]
+        else:
+            sb_name_all = ["None"] * Nb
+            sb_score_all = np.full(Nb, -1.0)
         # homopolymer ranking: stable argsort on -score, top-2 columns
         horder = np.argsort(-hsc_all, axis=1, kind="stable") if Nb else None
 
@@ -323,13 +348,20 @@ def _finish_group(
                     )
                 )
             else:
-                h0, h1 = horder[bi, 0], horder[bi, 1]
+                h0 = horder[bi, 0]
+                if M > 1:
+                    h1 = horder[bi, 1]
+                    homo2 = (mono_names[h1], hsc_all[bi, h1])
+                else:
+                    # a single-column batch has no homo runner-up; the
+                    # reference cannot reach this (RC doubling makes M >= 2)
+                    homo2 = ("None", -1)
                 fblocks.append(
                     FinishedBlock(
                         d["m"], d["start"], d["end"], best_score_all[bi],
-                        mono_names[sb_idx_all[bi]], sb_score_all[bi],
+                        sb_name_all[bi], sb_score_all[bi],
                         mono_names[h0], hsc_all[bi, h0],
-                        mono_names[h1], hsc_all[bi, h1],
+                        homo2[0], homo2[1],
                         dict(zip(mono_names, sc_all[bi])),
                         True,
                     )

@@ -338,16 +338,28 @@ def _moves_to_cigar(moves: np.ndarray, qlen: int, tlen: int, extended: bool) -> 
 # up>left>diag move recorder, and the reported cost always equals the exact
 # edit distance (asserted in tests on both validity and optimality).
 MOVES_CELL_LIMIT = 1 << 22  # ~4 MB of move codes per pair
+# one dp_moves_batch call materializes [n, maxLt+1, maxLq+1] uint8 cells —
+# the per-PAIR limit above does not bound the per-CALL allocation, so both
+# the batched PATH route and the Hirschberg base cases cap aggregate cells
+# per call too (round-2 advisor finding: 4096 pairs just under the pair
+# limit would otherwise allocate tens of GB)
+MOVES_BATCH_CELL_BUDGET = 1 << 26  # ~64 MB of move codes per device call
 
 
 def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
-                    cell_limit: int = MOVES_CELL_LIMIT,
+                    cell_limit: int | None = None,
                     luts: tuple[np.ndarray, np.ndarray] | None = None) -> list[int]:
     """With `luts` = (mask_lut, id_lut), q/t are RAW byte codes and every DP
     call transforms on the fly — necessary because the recursion's
     forward/backward sweeps SWAP query/target roles (the symmetry
     dist(a, b) = dist(b, a) holds for the relation, but the bitmask/id
     representations are role-specific)."""
+    if cell_limit is None:
+        # resolve the module global at CALL time so a configured/patched
+        # MOVES_CELL_LIMIT governs the router in _align_chunk and this
+        # recursion's base cases consistently (round-2 advisor finding:
+        # a def-time default let the two limits disagree)
+        cell_limit = MOVES_CELL_LIMIT
     # Edit-op list of an optimal NW alignment of (q, t) without ever
     # materializing an O(Lq*Lt) table. The recursion is processed level by
     # level so every split's forward/backward last rows — exactly what
@@ -402,8 +414,9 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                 bwd_t.append(sq[::-1].copy())
         # resolve base tasks in bounded bites (the [n, Lt+1, Lq+1] move
         # tensor of a batch must stay well under HBM)
-        for bs in range(0, len(base), 16):
-            part = base[bs : bs + 16]
+        bite_n = max(1, MOVES_BATCH_CELL_BUDGET // cell_limit)
+        for bs in range(0, len(base), bite_n):
+            part = base[bs : bs + bite_n]
             qb, qlb = _pad_pow2([as_q(segments[si][1]) for si in part])
             tb, tlb = _pad_pow2([as_t(segments[si][2]) for si in part])
             _, moves = dp_moves_batch(qb, qlb, tb, tlb, use_mask=use_mask)
@@ -574,14 +587,40 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             pqs.append(qs[p])
             pts.append(sub_t)
         if idx2:
-            pq, pql = _pad_batch(pqs)
-            pt, ptl = _pad_batch(pts)
-            _, moves = dp_moves_batch(pq, pql, pt, ptl, use_mask=use_mask)
-            moves = np.asarray(moves)
-            for ii, p in enumerate(idx2):
-                cigars[p] = _moves_to_cigar(
-                    moves[ii], int(pql[ii]), int(ptl[ii]), extended
-                )
+            # aggregate cell budget: every pair passed the per-pair limit,
+            # but the batch pads all pairs to the chunk max, so a chunk of
+            # large-but-legal pairs could still allocate tens of GB. Group
+            # size-sorted pairs into bites whose PADDED cell total stays
+            # under MOVES_BATCH_CELL_BUDGET (order of device calls is
+            # irrelevant: each writes its own cigars[p] slots).
+            def _flush_moves(bite: list[int]) -> None:
+                pq, pql = _pad_batch([pqs[ii] for ii in bite])
+                pt, ptl = _pad_batch([pts[ii] for ii in bite])
+                _, moves = dp_moves_batch(pq, pql, pt, ptl, use_mask=use_mask)
+                moves = np.asarray(moves)
+                for jj, ii in enumerate(bite):
+                    cigars[idx2[ii]] = _moves_to_cigar(
+                        moves[jj], int(pql[jj]), int(ptl[jj]), extended
+                    )
+
+            order = sorted(
+                range(len(idx2)),
+                key=lambda ii: (len(pqs[ii]) + 1) * (len(pts[ii]) + 1),
+                reverse=True,
+            )
+            bite: list[int] = []
+            max_lq = max_lt = 0
+            for ii in order:
+                nlq = max(max_lq, len(pqs[ii]) + 1)
+                nlt = max(max_lt, len(pts[ii]) + 1)
+                if bite and (len(bite) + 1) * nlq * nlt > MOVES_BATCH_CELL_BUDGET:
+                    _flush_moves(bite)
+                    bite = []
+                    nlq, nlt = len(pqs[ii]) + 1, len(pts[ii]) + 1
+                bite.append(ii)
+                max_lq, max_lt = nlq, nlt
+            if bite:
+                _flush_moves(bite)
 
     out = []
     for p in range(n):

@@ -347,16 +347,27 @@ def run_multihost(
         return None
 
     # host 0: wait for every fragment; salvage shards of hosts that died
-    # (missing sentinel + stale heartbeat) by recomputing them locally,
-    # then merge and finish
-    stalled = _wait_for(
-        [_sentinel(fragment_path(out_dir, out_file, h)) for h in range(topo.num_hosts)],
-        fp,
-        timeout=barrier_timeout,
-        liveness_grace=liveness_grace,
-        salvage=salvage_dead_hosts,
-    )
-    if stalled:
+    # (missing sentinel + stale heartbeat) by recomputing them locally.
+    # _wait_for returns the DEAD subset as soon as any host is declared
+    # dead, even while other hosts are still computing — so after each
+    # salvage we must re-enter the wait until EVERY sentinel matches;
+    # merging earlier would open() fragments of still-live hosts that do
+    # not exist yet (round-2 advisor finding). One shared deadline bounds
+    # the whole loop.
+    sentinels = [
+        _sentinel(fragment_path(out_dir, out_file, h)) for h in range(topo.num_hosts)
+    ]
+    deadline = time.monotonic() + barrier_timeout
+    while True:
+        stalled = _wait_for(
+            sentinels,
+            fp,
+            timeout=max(1.0, deadline - time.monotonic()),
+            liveness_grace=liveness_grace,
+            salvage=salvage_dead_hosts,
+        )
+        if not stalled:
+            break
         dead = sorted(
             int(p.rsplit(".shard", 1)[1].split(".")[0]) for p in stalled
         )

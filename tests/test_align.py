@@ -322,3 +322,39 @@ def test_equalities_wide_alphabet_hirschberg(monkeypatch):
                 cost += ch == "X"
                 i += 1; j += 1
     assert (i, j) == (len(q), len(t)) and cost == r["editDistance"]
+
+
+def test_moves_batch_aggregate_cell_budget(monkeypatch):
+    """The batched PATH route must bound the PADDED per-call move tensor,
+    not just each pair: many pairs each under MOVES_CELL_LIMIT must split
+    into multiple dp_moves_batch calls whose aggregate padded cells stay
+    under MOVES_BATCH_CELL_BUDGET, with identical results (round-2 advisor
+    finding: one call over the whole chunk could allocate tens of GB)."""
+    import numpy as np
+
+    import stringdecomposer_tpu.ops.align as A
+
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qs = [rng.choice(alpha, int(n)).astype(np.uint8) for n in
+          rng.integers(20, 60, size=12)]
+    ts = [rng.choice(alpha, int(n)).astype(np.uint8) for n in
+          rng.integers(20, 60, size=12)]
+    want = A.align_batch(qs, ts, task="path")
+
+    calls = {"n": 0, "max_cells": 0}
+    real = A.dp_moves_batch
+
+    def counting(pq, pql, pt, ptl, use_mask=False):
+        calls["n"] += 1
+        calls["max_cells"] = max(calls["max_cells"],
+                                 pq.shape[0] * (pq.shape[1] + 1) * (pt.shape[1] + 1))
+        return real(pq, pql, pt, ptl, use_mask=use_mask)
+
+    budget = 2 * 80 * 80  # forces ~4 bites for 12 pairs of ~64-padded len
+    monkeypatch.setattr(A, "MOVES_BATCH_CELL_BUDGET", budget)
+    monkeypatch.setattr(A, "dp_moves_batch", counting)
+    got = A.align_batch(qs, ts, task="path")
+    assert calls["n"] >= 3
+    assert calls["max_cells"] <= budget + 80 * 80  # padding fuzz of one pair
+    assert got == want
