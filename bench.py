@@ -8,7 +8,8 @@ Baseline (BASELINE.md): the reference C++ dp stage emits 557 monomer
 assignments for the 94,871 bp test read in 3.58 s on one CPU thread
 (~156 assignments/s). Correctness is asserted in-run: the raw TSV must be
 byte-identical to the reference binary's output before any number is
-reported.
+reported, and the full overlapped pipeline (DP + rescoring interleaved on
+the device queue) must reproduce the reference golden final TSV.
 """
 
 import json
@@ -17,9 +18,16 @@ import time
 
 BASELINE_ASSIGN_PER_S = 557 / 3.58  # reference dp binary, 1 CPU thread
 
+# measured marginal cost of one pltpu.roll over a [576, 256] int32 tile on
+# this v5e (scripts/ablate_chain.py, ladder-depth ablation: removing 4 ladder
+# rolls saves 0.975 us/step); the packed kernel issues ~10 rolls per step, so
+# rolls * 0.24us / wall is the roll-bandwidth utilization — the honest
+# roofline metric for this integer VPU kernel (MFU is meaningless: no MXU).
+ROLL_US = 0.24
+ROLLS_PER_STEP = 10
+
 
 def main() -> int:
-    import io as _io
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -34,7 +42,7 @@ def main() -> int:
     monomers = add_reverse_complement(load_fasta(os.path.join(data, "DXZ1_star_monomers.fa")))
     cfg = PipelineConfig(device_batch=152)
 
-    # correctness gate: byte equality with the reference raw decomposition
+    # correctness gate 1: raw TSV byte equality with the reference binary
     result = decompose_reads(reads, monomers, cfg)  # also warms the compile cache
     rows = []
     names = [m.name for m in monomers]
@@ -66,26 +74,27 @@ def main() -> int:
     avg_len = sum(len(m.seq) for m in monomers) / len(monomers)
     cells = n_windows * 5500 * len(monomers) * avg_len
     gcells = cells / dt / 1e9
+    # roll-bandwidth utilization: fraction of wall the kernel's rolls account
+    # for at their measured marginal cost (1.0 == at the roll roofline)
+    program_steps = -(-n_windows // 24) * 5504
+    roll_util = program_steps * ROLLS_PER_STEP * ROLL_US * 1e-6 / dt
 
-    # end-to-end --second-best (DP + 48-way rescoring + classify +
-    # formatting). Correctness: the finishing path is byte-gated against the
-    # reference golden TSV on the test read; throughput: warm in-process run
-    # on a 1.6 Mbp synthetic centromere assembly (the raw-DP-only number
-    # hides the rescoring stage the reference spends most of its time in).
-    from stringdecomposer_tpu.finishing import finish_reads, write_final_tsv
-    from stringdecomposer_tpu.io.fasta import Record, add_rc_interleaved, load_fasta as _lf
-    from stringdecomposer_tpu.report import parse_raw_tsv
-
-    mono_fin = add_rc_interleaved(
-        _lf(os.path.join(data, "DXZ1_star_monomers.fa"), upper=True))
-    reads_up = {r.name.split()[0]: r.seq for r in
-                _lf(os.path.join(data, "read.fa"), upper=True)}
-    finished = finish_reads(parse_raw_tsv(got), reads_up, mono_fin, second_best=True)
+    # correctness gate 2 + e2e throughput: the OVERLAPPED pipeline
+    # (pipeline.run streams raw rows as windows finalize and interleaves the
+    # finishing stage's identity batches with later windows' DP on the device
+    # queue). Gate: golden final TSV on the CHM13 read; throughput: warm run
+    # on a 1.6 Mbp synthetic centromere assembly.
     import tempfile
+
+    from stringdecomposer_tpu.pipeline import run as pipeline_run
+
     with tempfile.TemporaryDirectory() as td:
-        write_final_tsv(os.path.join(td, "f.tsv"), os.path.join(td, "a.tsv"),
-                        finished, identity_th=0)
-        with open(os.path.join(td, "f.tsv")) as f_got, open(
+        out = pipeline_run(
+            os.path.join(data, "read.fa"),
+            os.path.join(data, "DXZ1_star_monomers.fa"),
+            out_dir=td, second_best=True, device_batch=152,
+        )
+        with open(out) as f_got, open(
             os.path.join(data, "final_decomposition_fc89af8.tsv")
         ) as f_want:
             if f_got.read() != f_want.read():
@@ -94,27 +103,24 @@ def main() -> int:
                 return 1
 
     sys.path.insert(0, os.path.join(here, "scripts"))
-    from scale_smoke import synthesize
     import numpy as np
+    from scale_smoke import synthesize
 
-    monomers_fwd = _lf(os.path.join(data, "DXZ1_star_monomers.fa"))
+    monomers_fwd = load_fasta(os.path.join(data, "DXZ1_star_monomers.fa"))
     asm = synthesize(1_600_000, monomers_fwd, np.random.default_rng(0))
-    asm_reads = [Record("asm", asm)]
-    res = decompose_reads(asm_reads, monomers, cfg)  # warm
-    raw_rows = []
-    for rname, blocks in res:
-        raw_rows.extend(format_raw_rows(rname, blocks, names))
-    per_read = parse_raw_tsv("".join(r + "\n" for r in raw_rows))
-    finish_reads(per_read, {"asm": asm.upper()}, mono_fin, second_best=True)  # warm
-    t0 = time.perf_counter()
-    res = decompose_reads(asm_reads, monomers, cfg)
-    raw_rows = []
-    for rname, blocks in res:
-        raw_rows.extend(format_raw_rows(rname, blocks, names))
-    per_read = parse_raw_tsv("".join(r + "\n" for r in raw_rows))
-    fin = finish_reads(per_read, {"asm": asm.upper()}, mono_fin, second_best=True)
-    dt_e2e = time.perf_counter() - t0
-    n_e2e = sum(len(b) for _, b in fin)
+    with tempfile.TemporaryDirectory() as td:
+        asm_fa = os.path.join(td, "asm.fa")
+        with open(asm_fa, "w") as f:
+            f.write(">asm\n" + asm + "\n")
+        mono_fa = os.path.join(data, "DXZ1_star_monomers.fa")
+        pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "w"),
+                     second_best=True, device_batch=152)  # warm
+        t0 = time.perf_counter()
+        final = pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "t"),
+                             second_best=True, device_batch=152)
+        dt_e2e = time.perf_counter() - t0
+        with open(final) as f:
+            n_e2e = sum(1 for _ in f)
     e2e_assign_per_s = n_e2e / dt_e2e
 
     print(json.dumps({
@@ -124,8 +130,10 @@ def main() -> int:
         "vs_baseline": round(assign_per_s / BASELINE_ASSIGN_PER_S, 2),
         "extra": {
             "dp_gcells_per_s": round(gcells, 2),
+            "dp_roll_bw_utilization": round(roll_util, 3),
             "e2e_second_best_assignments_per_s": round(e2e_assign_per_s, 1),
-            "e2e_includes": "warm DP + 48-way rescoring + reliability on a 1.6 Mbp assembly; finishing path golden-byte-verified on the test read",
+            "e2e_vs_dp_stage": round(assign_per_s / e2e_assign_per_s, 2),
+            "e2e_includes": "full pipeline.run on a 1.6 Mbp assembly: overlapped DP + 48-way rescoring + reliability + TSV write; golden-byte-verified on the test read",
         },
     }))
     return 0

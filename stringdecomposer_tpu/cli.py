@@ -88,7 +88,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _honor_platform_env() -> None:
+    """Apply JAX_PLATFORMS through jax.config BEFORE backend init.
+
+    Hosted TPU plugins can ignore the raw env var (the axon runtime does),
+    silently routing a `JAX_PLATFORMS=cpu python -m stringdecomposer_tpu`
+    subprocess to the remote chip; the config update is binding on every
+    backend. No-op when the variable is unset."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # noqa: BLE001 - backend already initialized
+            pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    _honor_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--serve" in argv:
         argv.remove("--serve")
@@ -149,10 +167,12 @@ def _execute(args) -> int:
     from .pipeline import run
 
     forward_fn = None
+    identity_kernel = None
     if args.data_parallel:
-        from .parallel.sharding import make_sharded_forward
+        from .parallel.sharding import make_sharded_forward, make_sharded_identity
 
         forward_fn = make_sharded_forward()
+        identity_kernel = make_sharded_identity()
 
     profiler_cm = None
     if args.profile_dir:
@@ -183,6 +203,7 @@ def _execute(args) -> int:
                 process_id=args.host_id if args.coordinator else None,
                 resume=args.resume,
                 data_parallel=args.data_parallel,
+                stream_reads=args.stream_reads,
             )
         else:
             run(
@@ -200,6 +221,7 @@ def _execute(args) -> int:
                 forward_fn=forward_fn,
                 resume=args.resume,
                 stream_reads=args.stream_reads,
+                identity_kernel=identity_kernel,
             )
     except InvalidSymbolError as e:
         logger.error("ERROR: %s", e)

@@ -33,6 +33,7 @@ fixtures in tests/fixtures/align_cases.json):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -57,42 +58,68 @@ def _encode_any(seq) -> np.ndarray:
     return np.frombuffer(str(seq).encode(), dtype=np.uint8)
 
 
-def _equality_luts(codes_list: list[np.ndarray], pairs) -> tuple[np.ndarray, np.ndarray]:
-    """Byte->bitmask and byte->compact-id lookup tables implementing the
-    additionalEqualities relation (src/edlib.h:133-149; symmetric like the
-    reference's equalityDefinitions matrix, src/edlib.cpp:1429-1437).
-    Compact alphabet = the bytes actually present; must fit 32 symbols."""
+@dataclass
+class _EqEncoding:
+    """Role-specific transforms implementing the additionalEqualities
+    relation (src/edlib.h:133-149; symmetric like the reference's
+    equalityDefinitions matrix, src/edlib.cpp:1429-1437).
+
+    mode="mask" (<=32 distinct symbols, the hot path): q_lut maps a byte to
+    an int32 bitmask over the compact alphabet, t_lut to a compact id, and
+    the kernels test equality with `(qmask >> id) & 1` — two vector ops, no
+    gather. mode="lut" (up to the reference's full 256-symbol transformed
+    alphabet, src/edlib.cpp:16,1420-1459): q_lut maps to `id * stride`,
+    t_lut to `id`, and the kernels gather `eq_flat[q + t]` — one gather per
+    cell, slower but contract-complete. Compact id 0 is reserved for
+    padding/boundaries (row/column 0 of eq_flat is all zeros, so pads never
+    match anything)."""
+
+    mode: str
+    q_lut: np.ndarray  # [256] int32
+    t_lut: np.ndarray  # [256] int32
+    eq_flat: np.ndarray | None  # [stride*stride] int32 ("lut" mode only)
+
+
+def _equality_encoding(codes_list: list[np.ndarray], pairs) -> _EqEncoding:
     present = np.zeros(256, dtype=bool)
     for c in codes_list:
         present[np.unique(c)] = True
     symbols = np.flatnonzero(present)
-    if len(symbols) > 32:
-        raise ValueError(
-            f"additionalEqualities supports alphabets up to 32 distinct "
-            f"symbols ({len(symbols)} present)"
-        )
-    ids = np.full(256, 0, dtype=np.int32)
-    ids[symbols] = np.arange(len(symbols), dtype=np.int32)
+    A = len(symbols)
     eq = np.zeros((256, 256), dtype=bool)
     eq[symbols, symbols] = True
     for a, b in pairs:
         ca = ord(a) if isinstance(a, str) else int(a)
         cb = ord(b) if isinstance(b, str) else int(b)
         eq[ca, cb] = eq[cb, ca] = True
-    # build in int64 then reinterpret: a mask using bit 31 (exactly 32
-    # symbols) overflows a direct int32 assignment, but the kernels' shift
-    # and-1 extraction is bit-pattern exact either way
-    mask64 = np.zeros(256, dtype=np.int64)
-    for b in symbols:
-        mask64[b] = sum(1 << int(ids[s]) for s in symbols if eq[b, s])
-    mask_lut = mask64.astype(np.uint32).view(np.int32)
-    return mask_lut, ids
+    if A <= 32:
+        ids = np.full(256, 0, dtype=np.int32)
+        ids[symbols] = np.arange(A, dtype=np.int32)
+        # build in int64 then reinterpret: a mask using bit 31 (exactly 32
+        # symbols) overflows a direct int32 assignment, but the kernels'
+        # shift-and-1 extraction is bit-pattern exact either way
+        mask64 = np.zeros(256, dtype=np.int64)
+        for b in symbols:
+            mask64[b] = sum(1 << int(ids[s]) for s in symbols if eq[b, s])
+        return _EqEncoding("mask", mask64.astype(np.uint32).view(np.int32),
+                           ids, None)
+    # big-alphabet fallback: ids 1..A (0 = pad sentinel), flat equality table
+    stride = A + 1
+    ids = np.zeros(256, dtype=np.int32)
+    ids[symbols] = np.arange(1, A + 1, dtype=np.int32)
+    eq_flat = np.zeros(stride * stride, dtype=np.int32)
+    for a in symbols:
+        row = ids[a] * stride
+        for b in symbols:
+            if eq[a, b]:
+                eq_flat[row + ids[b]] = 1
+    return _EqEncoding("lut", ids * stride, ids, eq_flat)
 
 
 # ---------------------------------------------------------------------------
 # Device kernels
 # ---------------------------------------------------------------------------
-def _sub_fn(qcol, tchar, use_mask):
+def _sub_fn(qcol, tchar, use_mask, eq_flat=None):
     """Substitution cost row: 0 where query/target chars are "equal".
 
     use_mask=False: qcol holds raw codes, plain equality. use_mask=True:
@@ -100,7 +127,11 @@ def _sub_fn(qcol, tchar, use_mask):
     tchar holds compact symbol ids — ((qmask >> id) & 1) implements the
     additionalEqualities relation (src/edlib.h:133-149) with two cheap
     vector ops and no gather (alphabet must fit 32 symbols; IUPAC's 16 do).
+    With eq_flat (alphabets up to 256 symbols, _EqEncoding mode="lut"):
+    qcol holds id*stride, tchar holds ids, equality is one gather.
     """
+    if eq_flat is not None:
+        return 1 - jnp.take(eq_flat, qcol + tchar[:, None], axis=0)
     if use_mask:
         return 1 - ((qcol >> tchar[:, None]) & 1)
     return jnp.where(qcol == tchar[:, None], 0, 1)
@@ -114,6 +145,7 @@ def dp_lastrow_batch(
     t_lens: jnp.ndarray,  # [P] int32 (only used by callers for masking)
     free_target_prefix: bool = False,  # True for HW
     use_mask: bool = False,
+    eq_flat: jnp.ndarray | None = None,  # big-alphabet equality table
 ) -> jnp.ndarray:
     """Last DP row per pair: out[p, j] = dist(q[p][:q_len], t[p][:j]) for
     j = 0..Lt (entries past t_len are garbage; callers mask)."""
@@ -133,7 +165,7 @@ def dp_lastrow_batch(
 
     def step(C, j):
         tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
-        sub = _sub_fn(qcol, tchar, use_mask)
+        sub = _sub_fn(qcol, tchar, use_mask, eq_flat)
         left = C + 1
         diag = jnp.concatenate([jnp.full((P, 1), BIG, jnp.int32), C[:, :-1]], axis=1) + sub
         cand = jnp.minimum(left, diag)
@@ -154,6 +186,7 @@ def dp_banded_nw_batch(
     t_lens: jnp.ndarray,  # [P] int32
     k: int,
     use_mask: bool = False,
+    eq_flat: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Banded NW distance (the Ukkonen band, src/edlib.cpp:559-571, as a
     lane window): only the 2k+1 diagonals |i-j| <= k are computed, so a
@@ -192,7 +225,7 @@ def dp_banded_nw_batch(
         i_here = j + b_idx - k  # [1, Bw] row of lane b at column j
         tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
         qwin = jax.lax.dynamic_slice_in_dim(qp, j, Bw, axis=1)  # q[i_here - 1]
-        sub = _sub_fn(qwin, tchar, use_mask)
+        sub = _sub_fn(qwin, tchar, use_mask, eq_flat)
         left = jnp.concatenate([D[:, 1:], jnp.full((P, 1), BIG, jnp.int32)], axis=1) + 1
         diag = D + sub
         cand = jnp.minimum(left, diag)
@@ -217,6 +250,7 @@ def dp_banded_nw_batch(
 def dp_moves_batch(
     q: jnp.ndarray, q_lens: jnp.ndarray, t: jnp.ndarray, t_lens: jnp.ndarray,
     use_mask: bool = False,
+    eq_flat: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Global-NW move matrix for the PATH task.
 
@@ -238,7 +272,7 @@ def dp_moves_batch(
 
     def step(C, j):
         tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
-        sub = _sub_fn(qcol, tchar, use_mask)
+        sub = _sub_fn(qcol, tchar, use_mask, eq_flat)
         left = C + 1
         diag = jnp.concatenate([jnp.full((P, 1), BIG, jnp.int32), C[:, :-1]], axis=1) + sub
         cand = jnp.minimum(left, diag)
@@ -345,15 +379,29 @@ MOVES_CELL_LIMIT = 1 << 22  # ~4 MB of move codes per pair
 # limit would otherwise allocate tens of GB)
 MOVES_BATCH_CELL_BUDGET = 1 << 26  # ~64 MB of move codes per device call
 
+# The reference's Hirschberg engage rule (src/edlib.cpp:1190-1213): switch to
+# the memory-bounded route when the traceback data would exceed 1 MB, sized as
+# (2*sizeof(Word) + sizeof(int)) * ceil(Lq/64) * Lt + 2*sizeof(int) * Lt.
+# Byte parity REQUIRES mirroring this exactly: the two routes return different
+# co-optimal paths (measured: 17/90 reference CIGARs change when the bound is
+# shrunk), so route choice is output-visible, not just a memory knob. Tests
+# shrink this module global to force engagement on small fixtures.
+HB_MEM_BOUND = 1 << 20
+
+
+def _hb_engages(lq: int, lt: int) -> bool:
+    """True when the reference would take the Hirschberg route
+    (src/edlib.cpp:1190-1193, Word = 8 bytes, int = 4 bytes)."""
+    return (2 * 8 + 4) * (-(-lq // 64)) * lt + 2 * 4 * lt >= HB_MEM_BOUND
+
 
 def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                     cell_limit: int | None = None,
-                    luts: tuple[np.ndarray, np.ndarray] | None = None) -> list[int]:
-    """With `luts` = (mask_lut, id_lut), q/t are RAW byte codes and every DP
-    call transforms on the fly — necessary because the recursion's
-    forward/backward sweeps SWAP query/target roles (the symmetry
-    dist(a, b) = dist(b, a) holds for the relation, but the bitmask/id
-    representations are role-specific)."""
+                    enc: _EqEncoding | None = None) -> list[int]:
+    """With `enc` set, q/t are RAW byte codes and every DP call transforms
+    on the fly — necessary because the recursion's forward/backward sweeps
+    SWAP query/target roles (the symmetry dist(a, b) = dist(b, a) holds for
+    the relation, but the q/t representations are role-specific)."""
     if cell_limit is None:
         # resolve the module global at CALL time so a configured/patched
         # MOVES_CELL_LIMIT governs the router in _align_chunk and this
@@ -364,11 +412,14 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
     # materializing an O(Lq*Lt) table. The recursion is processed level by
     # level so every split's forward/backward last rows — exactly what
     # dp_lastrow_batch computes — run as ONE device batch per level.
-    use_mask = luts is not None
+    use_mask = enc is not None
+    eq_flat = None
     if use_mask:
-        mask_lut, id_lut = luts
-        as_q = lambda x: mask_lut[x]
-        as_t = lambda x: id_lut[x].astype(np.uint8)
+        # lut-mode ids reach A <= 256, past uint8; keep them int32
+        t_dtype = np.uint8 if enc.eq_flat is None else np.int32
+        as_q = lambda x: enc.q_lut[x]
+        as_t = lambda x: enc.t_lut[x].astype(t_dtype)
+        eq_flat = enc.eq_flat
     else:
         as_q = as_t = lambda x: x
     # power-of-two padded batches: recursion levels roughly halve problem
@@ -399,9 +450,15 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                 segments[si] = ("ops", [EDOP_DELETE] * lt)
             elif lt == 0:
                 segments[si] = ("ops", [EDOP_INSERT] * lq)
-            elif lt == 1 or (lq + 1) * (lt + 1) <= cell_limit:
-                # lt == 1 must be a base case (a split's jm would be 0 and
-                # never make progress); its move tensor is only 2*(lq+1) cells
+            elif lt == 1 or (not _hb_engages(lq, lt)
+                             and (lq + 1) * (lt + 1) <= cell_limit):
+                # base iff the reference's own recursion would base here
+                # (obtainAlignment re-checks the 1MB rule per level,
+                # src/edlib.cpp:1190-1213) AND the move tensor fits our
+                # device budget; lt == 1 must be a base case regardless (a
+                # split's jm would be 0 and never make progress) — the
+                # reference can only hit Hirschberg at lt == 1 for Lq in the
+                # tens of millions (28 bytes/row), far past its own limits
                 base.append(si)
             else:
                 jm = lt // 2
@@ -419,7 +476,8 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
             part = base[bs : bs + bite_n]
             qb, qlb = _pad_pow2([as_q(segments[si][1]) for si in part])
             tb, tlb = _pad_pow2([as_t(segments[si][2]) for si in part])
-            _, moves = dp_moves_batch(qb, qlb, tb, tlb, use_mask=use_mask)
+            _, moves = dp_moves_batch(qb, qlb, tb, tlb, use_mask=use_mask,
+                                      eq_flat=eq_flat)
             moves = np.asarray(moves)
             for ii, si in enumerate(part):
                 _, sq, st = segments[si]
@@ -429,7 +487,7 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
         q_all, ql_all = _pad_pow2([as_q(x) for x in fwd_q + bwd_q])
         t_all, tl_all = _pad_pow2([as_t(x) for x in fwd_t + bwd_t])
         rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all,
-                                           use_mask=use_mask))
+                                           use_mask=use_mask, eq_flat=eq_flat))
         nj = len(jobs)
         # replace each split task by (left half, right half) in order;
         # reverse iteration keeps earlier segment indices valid
@@ -440,7 +498,21 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
             jm = lt // 2
             f = rows[rev_i, : lq + 1]
             b = rows[nj + rev_i, : lq + 1][::-1]  # b[i] = dist(q[i:], t[jm:])
-            i_star = int(np.argmin(f + b))  # smallest row on ties
+            # the reference's split-row scan order (src/edlib.cpp:1326-1361):
+            # interior rows ascending FIRST (its main loop covers left-column
+            # rows 0..Lq-2, i.e. split rows 1..Lq-1), then the row-0 boundary
+            # ("whole left target deleted"), then the row-Lq boundary. Plain
+            # smallest-row argmin diverges whenever row 0 ties an interior
+            # row — output-visible, so the order is mirrored exactly.
+            tot = f + b
+            best_tot = int(tot.min())
+            interior = np.flatnonzero(tot[1:lq] == best_tot)
+            if interior.size:
+                i_star = int(interior[0]) + 1
+            elif int(tot[0]) == best_tot:
+                i_star = 0
+            else:
+                i_star = lq
             segments[si : si + 1] = [
                 ("task", sq[:i_star].copy(), st[:jm].copy()),
                 ("task", sq[i_star:].copy(), st[jm:].copy()),
@@ -484,18 +556,22 @@ def align_batch(
 
 def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[dict]:
     use_mask = equalities is not None
-    luts = None
+    enc = None
+    eq_flat = None
     qs_raw, ts_raw = qs, ts
     if use_mask:
-        # queries become per-position bitmasks over the compact alphabet,
-        # targets become compact ids; the reversed-SHW start pass and the
-        # batched path reuse these (slicing/reversing preserves per-position
-        # transforms). Hirschberg gets the RAW arrays + LUTs because its
-        # sweeps swap query/target roles.
-        luts = _equality_luts(qs + ts, equalities)
-        mask_lut, id_lut = luts
-        qs = [mask_lut[x] for x in qs]
-        ts = [id_lut[x].astype(np.uint8) for x in ts]
+        # queries become per-position bitmasks over the compact alphabet
+        # (<=32 symbols) or id*stride gather offsets (lut mode, up to the
+        # reference's 256, src/edlib.cpp:16,1420-1459); targets become
+        # compact ids. The reversed-SHW start pass and the batched path
+        # reuse these (slicing/reversing preserves per-position
+        # transforms). Hirschberg gets the RAW arrays + the encoding
+        # because its sweeps swap query/target roles.
+        enc = _equality_encoding(qs + ts, equalities)
+        eq_flat = enc.eq_flat
+        t_dtype = np.uint8 if eq_flat is None else np.int32
+        qs = [enc.q_lut[x] for x in qs]
+        ts = [enc.t_lut[x].astype(t_dtype) for x in ts]
     q, ql = _pad_batch(qs)
     t, tl = _pad_batch(ts)
     n = len(qs)
@@ -507,7 +583,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
     # distance is <= k, which is all the k-threshold contract observes
     if mode == "NW" and 0 <= k and 2 * (2 * k + 1) < q.shape[1]:
         band = np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=int(k),
-                                             use_mask=use_mask))
+                                             use_mask=use_mask,
+                                             eq_flat=eq_flat))
         for p in range(n):
             if abs(int(ql[p]) - int(tl[p])) > k:
                 dists[p] = k + 1  # corner outside the band: provably > k
@@ -516,7 +593,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             ends.append([int(tl[p]) - 1])
     else:
         rows = np.asarray(dp_lastrow_batch(
-            q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask))
+            q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask,
+            eq_flat=eq_flat))
         for p in range(n):
             row = rows[p, : tl[p] + 1]
             if mode == "NW":
@@ -548,7 +626,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             if idx:
                 rq, rql = _pad_batch(rqs)
                 rt, rtl = _pad_batch(rts)
-                rrows = np.asarray(dp_lastrow_batch(rq, rql, rt, rtl, use_mask=use_mask))
+                rrows = np.asarray(dp_lastrow_batch(rq, rql, rt, rtl, use_mask=use_mask,
+                                                    eq_flat=eq_flat))
             for p in range(n):
                 if found[p]:
                     starts[p] = [0] * len(ends[p])
@@ -578,10 +657,11 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
                 cigars[p] = f"{len(qs[p])}I" if len(qs[p]) else ""
                 continue
             sub_t = ts[p][s0 : e0 + 1].copy()
-            if (len(qs[p]) + 1) * (len(sub_t) + 1) > MOVES_CELL_LIMIT:
+            if (_hb_engages(len(qs[p]), len(sub_t))
+                    or (len(qs[p]) + 1) * (len(sub_t) + 1) > MOVES_CELL_LIMIT):
                 cigars[p] = _ops_to_cigar(
                     _hirschberg_ops(qs_raw[p], ts_raw[p][s0 : e0 + 1].copy(),
-                                    luts=luts), extended)
+                                    enc=enc), extended)
                 continue
             idx2.append(p)
             pqs.append(qs[p])
@@ -596,7 +676,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             def _flush_moves(bite: list[int]) -> None:
                 pq, pql = _pad_batch([pqs[ii] for ii in bite])
                 pt, ptl = _pad_batch([pts[ii] for ii in bite])
-                _, moves = dp_moves_batch(pq, pql, pt, ptl, use_mask=use_mask)
+                _, moves = dp_moves_batch(pq, pql, pt, ptl, use_mask=use_mask,
+                                          eq_flat=eq_flat)
                 moves = np.asarray(moves)
                 for jj, ii in enumerate(bite):
                     cigars[idx2[ii]] = _moves_to_cigar(

@@ -265,6 +265,62 @@ def postprocess(blocks: list[Block]) -> list[Block]:
     return res
 
 
+class PostprocessStream:
+    """Incremental postprocess(): identical output, block-chunk granularity.
+
+    The dedup rule (src/main.cpp:287-302) looks ahead at most 6 blocks, so
+    a prefix is FINAL once 6 successors exist — enabling the pipeline to
+    emit/rescore a giant read's early blocks while its later windows are
+    still decomposing (DP/finishing overlap). push() returns newly
+    finalized blocks; finish() flushes the tail. The concatenation of all
+    returns equals postprocess(all pushed blocks) byte-for-byte (tested
+    against both the Python and native batch implementations)."""
+
+    def __init__(self) -> None:
+        self._buf: list[Block] = []
+        self._landing = False
+
+    def _drain(self, final: bool) -> list[Block]:
+        b = self._buf
+        nb = len(b)
+        res: list[Block] = []
+        i = 0
+        # a jump in the previous drain landed exactly one past the buffer:
+        # its landing block must be emitted UNCONDITIONALLY (the reference
+        # quirk), never re-run through the lookahead
+        if self._landing and nb > 0:
+            res.append(b[0])
+            self._landing = False
+            i = 1
+        # in non-final mode only process index i when its full 6-block
+        # lookahead window already exists — then the decision equals the
+        # batch run's min(i+7, nb_total) window
+        while i < nb and (final or i + 7 <= nb):
+            jumped = False
+            for j in range(i + 1, min(i + 7, nb)):
+                if (b[i].end - b[j].start) * 2 > (b[j].end - b[j].start):
+                    res.append(b[i])
+                    i = j + 1
+                    jumped = True
+                    break
+            if i < nb:
+                res.append(b[i])
+            elif jumped and not final:
+                self._landing = True  # landing block arrives with a later push
+            i += 1
+        self._buf = b[min(i, nb):]
+        return res
+
+    def push(self, blocks: list[Block]) -> list[Block]:
+        self._buf.extend(blocks)
+        return self._drain(final=False)
+
+    def finish(self) -> list[Block]:
+        out = self._drain(final=True)
+        assert not self._buf
+        return out
+
+
 def align_read_oracle(
     seq: str,
     mono: np.ndarray,

@@ -54,6 +54,14 @@ def fragment_path(out_dir: str, out_file: str, host_id: int) -> str:
     return os.path.join(out_dir, f"{out_file}_raw.shard{host_id:05d}.tsv")
 
 
+def final_fragment_path(out_dir: str, out_file: str, host_id: int) -> str:
+    return os.path.join(out_dir, f"{out_file}.shard{host_id:05d}.tsv")
+
+
+def alt_fragment_path(out_dir: str, out_file: str, host_id: int) -> str:
+    return os.path.join(out_dir, f"{out_file}_alt.shard{host_id:05d}.tsv")
+
+
 def _sentinel(frag: str) -> str:
     return frag + ".done"
 
@@ -171,8 +179,9 @@ def _wait_for(
     return []
 
 
-def merge_raw_fragments(
-    out_dir: str, out_file: str, topo: HostTopology, n_reads: int
+def _merge_by_counts(
+    dest: str, frags: list[str], counts: list[list[int]], topo: HostTopology,
+    n_reads: int,
 ) -> str:
     """Interleave per-host fragments back into global read order.
 
@@ -182,24 +191,12 @@ def merge_raw_fragments(
     reference's index re-sort (src/main.cpp:103-120). The pass is fully
     streaming: one open file handle per host, rows copied line-by-line,
     so merge memory is O(num_hosts), flat in the input size (a centromere
-    assembly's raw TSV can be many GB).
-    """
-    # the sidecar written next to each fragment records exact per-read row
-    # counts, so zero-block reads and duplicate read names merge unambiguously
-    counts: list[list[int]] = []
+    assembly's TSV can be many GB)."""
     handles = []
     try:
-        for h in range(topo.num_hosts):
-            frag = fragment_path(out_dir, out_file, h)
-            with open(frag + ".reads") as f:
-                counts.append(
-                    [int(ln.rsplit("\t", 1)[1]) for ln in f.read().split("\n")[:-1]]
-                )
-            handles.append(open(frag))
-
+        handles = [open(f) for f in frags]
         cursors = [0] * topo.num_hosts
-        raw_path = os.path.join(out_dir, out_file + "_raw.tsv")
-        with open(raw_path + ".tmp", "w") as out:
+        with open(dest + ".tmp", "w") as out:
             for gi in range(n_reads):
                 h = gi % topo.num_hosts
                 for _ in range(counts[h][cursors[h]]):
@@ -208,8 +205,53 @@ def merge_raw_fragments(
     finally:
         for fh in handles:
             fh.close()
-    os.replace(raw_path + ".tmp", raw_path)
-    return raw_path
+    os.replace(dest + ".tmp", dest)
+    return dest
+
+
+def merge_raw_fragments(
+    out_dir: str, out_file: str, topo: HostTopology, n_reads: int
+) -> str:
+    # the sidecar written next to each fragment records exact per-read row
+    # counts, so zero-block reads and duplicate read names merge unambiguously
+    counts: list[list[int]] = []
+    for h in range(topo.num_hosts):
+        frag = fragment_path(out_dir, out_file, h)
+        with open(frag + ".reads") as f:
+            counts.append(
+                [int(ln.rsplit("\t", 1)[1]) for ln in f.read().split("\n")[:-1]]
+            )
+    return _merge_by_counts(
+        os.path.join(out_dir, out_file + "_raw.tsv"),
+        [fragment_path(out_dir, out_file, h) for h in range(topo.num_hosts)],
+        counts, topo, n_reads,
+    )
+
+
+def merge_final_fragments(
+    out_dir: str, out_file: str, topo: HostTopology, n_reads: int
+) -> str:
+    """Merge the per-host FINAL and ALT fragments (each host finishes its
+    own shard; the reference finishes everything in one process,
+    main.py:124-142). Counts sidecar: read \\t final_rows \\t alt_rows."""
+    fin_counts: list[list[int]] = []
+    alt_counts: list[list[int]] = []
+    for h in range(topo.num_hosts):
+        ffrag = final_fragment_path(out_dir, out_file, h)
+        with open(ffrag + ".reads") as f:
+            rows = [ln.split("\t") for ln in f.read().split("\n")[:-1]]
+        fin_counts.append([int(r[1]) for r in rows])
+        alt_counts.append([int(r[2]) for r in rows])
+    _merge_by_counts(
+        os.path.join(out_dir, out_file + "_alt.tsv"),
+        [alt_fragment_path(out_dir, out_file, h) for h in range(topo.num_hosts)],
+        alt_counts, topo, n_reads,
+    )
+    return _merge_by_counts(
+        os.path.join(out_dir, out_file + ".tsv"),
+        [final_fragment_path(out_dir, out_file, h) for h in range(topo.num_hosts)],
+        fin_counts, topo, n_reads,
+    )
 
 
 def run_multihost(
@@ -233,6 +275,7 @@ def run_multihost(
     barrier_timeout: float = 3600.0,
     liveness_grace: float = 120.0,
     salvage_dead_hosts: bool = True,
+    stream_reads: int = 0,
 ) -> str | None:
     """Full pipeline across hosts. Returns the final TSV path on host 0,
     None on other hosts.
@@ -242,16 +285,25 @@ def run_multihost(
     used, which lets plain processes cooperate through the shared out_dir.
     With `resume=True` a host whose fragment sentinel already exists skips
     its DP stage entirely (per-host checkpoint/restart).
+
+    With `stream_reads > 0` each host streams the FASTA (iter_fasta),
+    retaining only the reads it owns in groups of that size — RSS stays
+    flat in the input size on EVERY host (round 2 materialized the full
+    read set num_hosts times), and output bytes are unchanged.
     """
     import pathlib
 
-    from ..finishing import finish_reads, write_final_tsv
-    from ..io.fasta import add_rc_interleaved, add_reverse_complement, load_fasta, validate_acgtn
+    from ..finishing import finish_reads
+    from ..io.fasta import add_rc_interleaved, add_reverse_complement, iter_fasta, load_fasta, validate_acgtn
     from ..ops.oracle import Scoring
     from ..pipeline import PipelineConfig, decompose_reads
-    from ..report import parse_raw_tsv, write_raw_tsv
     from .mesh import initialize_distributed
 
+    identity_kernel = None
+    if data_parallel:
+        from .sharding import make_sharded_identity
+
+        identity_kernel = make_sharded_identity()
     if coordinator is not None:
         initialize_distributed(coordinator, num_processes, process_id)
         topology = detect_topology()
@@ -267,10 +319,15 @@ def run_multihost(
     topo = topology or HostTopology()
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
 
-    reads = load_fasta(sequences_path)
     monomers_fwd = load_fasta(monomers_path)
-    validate_acgtn(reads, sequences_path)
     validate_acgtn(monomers_fwd, monomers_path)
+    n_reads = -1  # total input reads; host 0 needs it for the merges
+    if stream_reads > 0:
+        reads = None  # never materialized; shards stream via iter_fasta
+    else:
+        reads = load_fasta(sequences_path)
+        validate_acgtn(reads, sequences_path)
+        n_reads = len(reads)
     monomers_dp = add_reverse_complement(monomers_fwd)
 
     from ..pipeline import stage_fingerprint
@@ -278,6 +335,9 @@ def run_multihost(
     fp = stage_fingerprint(
         sequences_path, monomers_path, scoring, batch_size, overlap, ed_thr
     )
+    # the sentinel covers the host's raw AND final/alt fragments, so the
+    # fingerprint must also pin the finishing-stage parameters
+    fp += f"|fin:{int(second_best)}:{min_identity}"
     frag = fragment_path(out_dir, out_file, topo.host_id)
     resumable = False
     if resume and os.path.exists(_sentinel(frag)):
@@ -302,38 +362,100 @@ def run_multihost(
 
         forward_fn = make_sharded_forward()
 
+    monomers_fin = add_rc_interleaved(load_fasta(monomers_path, upper=True))
+    dp_names = [m.name for m in monomers_dp]
+
     def compute_shard(host_id: int) -> None:
-        """DP stage for one host's read shard -> fragment + sidecar +
-        sentinel (atomic renames). Deterministic: recomputing a shard on a
-        DIFFERENT machine (dead-host salvage) yields byte-identical files,
-        so even a concurrent late write by the presumed-dead host is
-        harmless."""
+        """DP stage + FINISHING for one host's read shard -> raw fragment +
+        final/alt fragments + sidecars + one sentinel covering all of them
+        (atomic renames). Every host rescoring its own shard is the
+        multi-host analog of the single-process finishing loop
+        (reference main.py:124-142); round 2 ran the whole finishing stage
+        on host 0 alone. Deterministic: recomputing a shard on a DIFFERENT
+        machine (dead-host salvage) yields byte-identical files, so even a
+        concurrent late write by the presumed-dead host is harmless.
+
+        With stream_reads > 0 the shard streams through in bounded groups
+        (only owned reads are ever retained) and rows append incrementally
+        to the .tmp files — the atomic rename contract is unchanged."""
+        nonlocal n_reads
+        from ..finishing import write_final_rows
+        from ..report import format_raw_rows
+
         fragh = fragment_path(out_dir, out_file, host_id)
-        # drop any stale sentinel/fragment/heartbeat BEFORE recomputing:
+        ffrag = final_fragment_path(out_dir, out_file, host_id)
+        afrag = alt_fragment_path(out_dir, out_file, host_id)
+        # drop any stale sentinel/fragments/heartbeat BEFORE recomputing:
         # host 0 must never observe an old-fingerprint sentinel next to a
         # mid-rewrite fragment (silently-wrong-merge race on rerun into a
         # reused out_dir)
-        for stale in (_sentinel(fragh), fragh, fragh + ".reads", _heartbeat(fragh)):
+        for stale in (_sentinel(fragh), fragh, fragh + ".reads", ffrag,
+                      ffrag + ".reads", afrag, _heartbeat(fragh)):
             try:
                 os.remove(stale)
             except OSError:
                 pass
-        mine = shard_indices(len(reads), HostTopology(topo.num_hosts, host_id))
-        local = [reads[i] for i in mine]
-        logger.info(
-            "host %d/%d: decomposing %d of %d reads",
-            host_id, topo.num_hosts, len(local), len(reads),
-        )
+
+        def flush_group(group, fr, frc, fo, fa, foc) -> None:
+            """One group: DP + raw rows/sidecar + finishing rows/sidecar."""
+            validate_acgtn(group, sequences_path)
+            result = decompose_reads(group, monomers_dp, cfg, forward_fn=forward_fn)
+            for r, (rname, blocks) in zip(group, result):
+                for row in format_raw_rows(rname, blocks, dp_names):
+                    fr.write(row + "\n")
+                frc.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
+            per_read_raw = [
+                (r.name.split()[0],
+                 [{"m": dp_names[b.monomer].split()[0],
+                   "start": b.start, "end": b.end} for b in blocks])
+                for r, (_, blocks) in zip(group, result)
+            ]
+            reads_by_name = {r.name.split()[0]: r.seq.upper() for r in group}
+            finished = finish_reads(
+                per_read_raw, reads_by_name, monomers_fin,
+                second_best=second_best, kernel=identity_kernel,
+            )
+            write_final_rows(fo, fa, finished, identity_th=min_identity)
+            for rname, blocks in finished:
+                nf = sum(1 for b in blocks if b.score >= min_identity)
+                na = sum(len(b.alt) for b in blocks if b.score >= min_identity)
+                foc.write(f"{rname}\t{nf}\t{na}\n")
+
         with _HeartbeatThread(fragh):
-            result = decompose_reads(local, monomers_dp, cfg, forward_fn=forward_fn)
             # write-then-rename so a crash mid-write never leaves a truncated
             # fragment that a later merge or --resume could mistake for complete
-            write_raw_tsv(fragh + ".tmp", result, [m.name for m in monomers_dp])
-            with open(fragh + ".reads.tmp", "w") as f:
-                for r, (_, blocks) in zip(local, result):
-                    f.write(f"{r.name.split()[0]}\t{len(blocks)}\n")
+            with open(fragh + ".tmp", "w") as fr, \
+                    open(fragh + ".reads.tmp", "w") as frc, \
+                    open(ffrag + ".tmp", "w") as fo, \
+                    open(afrag + ".tmp", "w") as fa, \
+                    open(ffrag + ".reads.tmp", "w") as foc:
+                if stream_reads > 0:
+                    group: list = []
+                    seen = 0
+                    for gi, rec in enumerate(iter_fasta(sequences_path)):
+                        seen = gi + 1
+                        if gi % topo.num_hosts != host_id:
+                            continue  # non-owned reads are never retained
+                        group.append(rec)
+                        if len(group) >= stream_reads:
+                            flush_group(group, fr, frc, fo, fa, foc)
+                            group = []
+                    if group:
+                        flush_group(group, fr, frc, fo, fa, foc)
+                    n_reads = seen
+                else:
+                    mine = shard_indices(n_reads, HostTopology(topo.num_hosts, host_id))
+                    local = [reads[i] for i in mine]
+                    logger.info(
+                        "host %d/%d: decomposing %d of %d reads",
+                        host_id, topo.num_hosts, len(local), n_reads,
+                    )
+                    flush_group(local, fr, frc, fo, fa, foc)
             os.replace(fragh + ".tmp", fragh)
             os.replace(fragh + ".reads.tmp", fragh + ".reads")
+            os.replace(ffrag + ".tmp", ffrag)
+            os.replace(afrag + ".tmp", afrag)
+            os.replace(ffrag + ".reads.tmp", ffrag + ".reads")
             with open(_sentinel(fragh) + ".tmp", "w") as f:
                 f.write(fp + "\n")
             os.replace(_sentinel(fragh) + ".tmp", _sentinel(fragh))
@@ -377,16 +499,14 @@ def run_multihost(
         )
         for h in dead:
             compute_shard(h)
-    raw_path = merge_raw_fragments(out_dir, out_file, topo, len(reads))
+    if n_reads < 0:
+        # streaming host 0 resumed past its own compute: one cheap counting
+        # pass (headers only are retained) establishes the merge length
+        n_reads = sum(1 for _ in iter_fasta(sequences_path))
+    raw_path = merge_raw_fragments(out_dir, out_file, topo, n_reads)
     logger.info("Saved merged raw decomposition to %s", raw_path)
-
-    with open(raw_path) as f:
-        per_read_raw = parse_raw_tsv(f.read())
-    monomers_fin = add_rc_interleaved(load_fasta(monomers_path, upper=True))
-    reads_by_name = {r.name: r.seq for r in load_fasta(sequences_path, upper=True)}
-    finished = finish_reads(per_read_raw, reads_by_name, monomers_fin, second_best=second_best)
-    final_path = os.path.join(out_dir, out_file + ".tsv")
-    alt_path = os.path.join(out_dir, out_file + "_alt.tsv")
-    write_final_tsv(final_path, alt_path, finished, identity_th=min_identity)
+    # final/alt rows were produced per host alongside each shard's DP; the
+    # merge is the same streaming count-guided interleave as the raw one
+    final_path = merge_final_fragments(out_dir, out_file, topo, n_reads)
     logger.info("Transformation finished. Results can be found in %s", final_path)
     return final_path

@@ -12,13 +12,15 @@ from __future__ import annotations
 from .ops.oracle import Block
 
 
-def format_raw_rows(read_name: str, blocks: list[Block], monomer_names: list[str]) -> list[str]:
+def format_raw_rows(read_name: str, blocks: list[Block], monomer_names: list[str],
+                    prev_end: int = 0) -> list[str]:
     """7-column raw TSV rows for one read (src/main.cpp:272-285).
 
     identity is printed like C++ std::to_string(float) — six decimals.
+    `prev_end` seeds the gap column when a read's blocks are emitted in
+    chunks (the streaming pipeline); pass the previous chunk's last end.
     """
     rows = []
-    prev_end = 0
     for b in blocks:
         rows.append(
             "\t".join(

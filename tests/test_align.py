@@ -345,11 +345,11 @@ def test_moves_batch_aggregate_cell_budget(monkeypatch):
     calls = {"n": 0, "max_cells": 0}
     real = A.dp_moves_batch
 
-    def counting(pq, pql, pt, ptl, use_mask=False):
+    def counting(pq, pql, pt, ptl, use_mask=False, eq_flat=None):
         calls["n"] += 1
         calls["max_cells"] = max(calls["max_cells"],
                                  pq.shape[0] * (pq.shape[1] + 1) * (pt.shape[1] + 1))
-        return real(pq, pql, pt, ptl, use_mask=use_mask)
+        return real(pq, pql, pt, ptl, use_mask=use_mask, eq_flat=eq_flat)
 
     budget = 2 * 80 * 80  # forces ~4 bites for 12 pairs of ~64-padded len
     monkeypatch.setattr(A, "MOVES_BATCH_CELL_BUDGET", budget)
@@ -358,3 +358,33 @@ def test_moves_batch_aggregate_cell_budget(monkeypatch):
     assert calls["n"] >= 3
     assert calls["max_cells"] <= budget + 80 * 80  # padding fuzz of one pair
     assert got == want
+
+
+def test_hirschberg_route_reference_byte_parity(monkeypatch):
+    """180 fixtures generated by the reference edlib with its Hirschberg
+    memory bound shrunk (HB_BOUND = 2048 and 512) so obtainAlignmentHirschberg
+    engages on small pairs: our route must return the reference's SPECIFIC
+    co-optimal path byte-for-byte, across NW/SHW/HW and several recursion
+    depths. This pins the engage formula (src/edlib.cpp:1190-1193), the
+    lt/2 target split, and the split-row scan order (interior rows
+    ascending, then row 0, then row Lq — src/edlib.cpp:1326-1361); the two
+    routes differ on 17/90 of these pairs, so any divergence is caught."""
+    import json
+
+    import stringdecomposer_tpu.ops.align as A
+
+    with open(FIXTURES / "hirschberg_cases.json") as f:
+        cases = json.load(f)
+    by_bound = {}
+    for c in cases:
+        by_bound.setdefault(c["bound"], []).append(c)
+    assert set(by_bound) == {512, 2048}
+    for bound, group in sorted(by_bound.items()):
+        monkeypatch.setattr(A, "HB_MEM_BOUND", bound)
+        for mode in ["NW", "SHW", "HW"]:
+            sub = [c for c in group if c["mode"] == mode]
+            res = A.align_batch([c["q"] for c in sub], [c["t"] for c in sub],
+                                mode=mode, task="path")
+            for c, r in zip(sub, res):
+                assert r["editDistance"] == c["ed"], (bound, mode)
+                assert r["cigar"] == c["cigar"], (bound, mode, c["q"][:40])

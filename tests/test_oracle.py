@@ -58,3 +58,30 @@ def test_oracle_on_real_read_window(test_data_dir):
         (names[b.monomer], b.start, b.end, b.identity) for b in blocks if b.end < 5000
     ]
     assert got_inside == ref_inside
+
+
+def test_postprocess_stream_matches_batch():
+    """PostprocessStream must reproduce postprocess() exactly for any chunk
+    boundaries, including the >1024-block native-path regime (the streaming
+    pipeline relies on prefix emissions being final)."""
+    import numpy as np
+
+    from stringdecomposer_tpu.ops.oracle import Block, PostprocessStream, postprocess
+
+    rng = np.random.default_rng(17)
+    for n_blocks in [0, 1, 5, 40, 1500]:
+        pos = 0
+        blocks = []
+        for _ in range(n_blocks):
+            start = pos - int(rng.integers(0, 30))  # frequent overlaps
+            end = start + int(rng.integers(5, 40))
+            blocks.append(Block(int(rng.integers(0, 4)), max(0, start), end, 10))
+            pos = end
+        want = postprocess(list(blocks))
+        for chunk in [1, 3, 7, 64, 997]:
+            ps = PostprocessStream()
+            got = []
+            for s in range(0, n_blocks, chunk):
+                got.extend(ps.push(blocks[s : s + chunk]))
+            got.extend(ps.finish())
+            assert got == want, (n_blocks, chunk)
