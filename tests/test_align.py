@@ -388,3 +388,29 @@ def test_hirschberg_route_reference_byte_parity(monkeypatch):
             for c, r in zip(sub, res):
                 assert r["editDistance"] == c["ed"], (bound, mode)
                 assert r["cigar"] == c["cigar"], (bound, mode, c["q"][:40])
+
+
+def test_wide_alphabet_equalities_reference_parity():
+    """36 reference-edlib cases over a 62-symbol alphabet (26 case-folding
+    pairs + 10 digit wildcards): alphabets past 32 distinct symbols take the
+    _EqEncoding mode="lut" gather path (reference supports up to 256,
+    src/edlib.cpp:16,1420-1459 — round 2 raised ValueError here). Full
+    parity: ed, CIGAR, end/start locations, k-threshold, all modes."""
+    import json
+
+    with open(FIXTURES / "edlib_wide_eq_cases.json") as f:
+        cases = json.load(f)
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    pairs_all = [(alpha[i], alpha[26 + i]) for i in range(26)] + \
+                [(chr(ord("0") + i), chr(ord("A") + (i % 5))) for i in range(10)]
+    assert any(c["ed"] >= 0 for c in cases)
+    for c in cases:
+        r = align_batch([c["q"]], [c["t"]], mode=c["mode"], task="path",
+                        k=c["k"], additional_equalities=pairs_all[: c["npairs"]])[0]
+        assert r["editDistance"] == c["ed"], (c["mode"], c["k"])
+        if c["ed"] < 0:
+            continue
+        assert r["cigar"] == c["cigar"], (c["mode"], c["q"][:30])
+        assert r["endLocations"] == c["endLocations"]
+        if c["startLocations"]:
+            assert r["startLocations"] == c["startLocations"]
