@@ -246,6 +246,211 @@ def dp_banded_nw_batch(
     return jnp.where(t_lens == 0, q_lens, dist)
 
 
+@partial(jax.jit, static_argnames=("k", "use_mask"))
+def dp_banded_lastrow_batch(
+    q: jnp.ndarray,  # [P, Lq]
+    q_lens: jnp.ndarray,  # [P] int32
+    t: jnp.ndarray,  # [P, Lt]
+    t_lens: jnp.ndarray,  # [P] int32
+    k: int,
+    use_mask: bool = False,
+    eq_flat: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Banded NW final COLUMN: out[p, b] = dist(q[p][:i], t[p][:t_len]) for
+    row i = t_len + b - k, b in [0, 2k], BIG for rows outside [0, q_len] or
+    values whose optimal path leaves the band (Ukkonen: any banded value
+    <= k is exact). This is the Hirschberg sweep primitive: with the pair's
+    exact distance d known, every forward/backward last-row sweep only needs
+    rows |i - jm| <= d, so a level costs O(k * Lt_sub) cells instead of
+    O(Lq * Lt_sub) (src/edlib.cpp:547-571's banding, recast as a sliding
+    lane window; same recurrence as dp_banded_nw_batch)."""
+    P, Lq = q.shape
+    _, Lt = t.shape
+    Bw = 2 * k + 1
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    b_idx = jnp.arange(Bw, dtype=jnp.int32)[None, :]
+    pad_code = 0 if use_mask else -1
+    qp = jnp.pad(q, ((0, 0), (k + 1, k + 1 + max(0, Lt - Lq))),
+                 constant_values=pad_code)
+    i0 = b_idx - k
+    D0 = jnp.where((i0 >= 0) & (i0 <= q_lens[:, None]), i0, BIG)
+    D0 = jnp.broadcast_to(D0, (P, Bw))
+    cap0 = jnp.where(t_lens[:, None] == 0, D0, BIG)
+
+    def step(carry, j):
+        D, cap = carry
+        i_here = j + b_idx - k
+        tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
+        qwin = jax.lax.dynamic_slice_in_dim(qp, j, Bw, axis=1)
+        sub = _sub_fn(qwin, tchar, use_mask, eq_flat)
+        left = jnp.concatenate([D[:, 1:], jnp.full((P, 1), BIG, jnp.int32)], axis=1) + 1
+        diag = D + sub
+        cand = jnp.minimum(left, diag)
+        cand = jnp.where(i_here == 0, j, cand)
+        valid = (i_here >= 0) & (i_here <= q_lens[:, None])
+        cand = jnp.where(valid, cand, BIG)
+        Dn = jax.lax.cummin(cand - b_idx, axis=1) + b_idx
+        Dn = jnp.where(valid, Dn, BIG)
+        cap = jnp.where((j == t_lens)[:, None], Dn, cap)
+        return (Dn, cap), None
+
+    (_, cap), _ = jax.lax.scan(step, (D0, cap0),
+                               jnp.arange(1, Lt + 1, dtype=jnp.int32))
+    return jnp.minimum(cap, BIG)
+
+
+@partial(jax.jit, static_argnames=("k", "use_mask"))
+def dp_banded_shw_rows(
+    q: jnp.ndarray,  # [P, Lq]
+    q_lens: jnp.ndarray,  # [P] int32
+    t: jnp.ndarray,  # [P, Lt]
+    t_lens: jnp.ndarray,  # [P] int32
+    k: int,
+    use_mask: bool = False,
+    eq_flat: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Banded SHW scan: out[p, j] = dist(q[p][:q_len], t[p][:j]) for target
+    columns j in 1..Lt wherever row q_len is inside the band (|q_len - j|
+    <= k), BIG elsewhere/past t_len. SHW cells are plain NW cells (the
+    suffix is free only at the READ-OFF row), so the |i - j| <= k band is
+    exact for values <= k — every end location the k-threshold contract can
+    observe lies in columns [q_len - k, q_len + k], making a small-k SHW
+    scan O(k * min(Lt, q_len + k)) instead of O(Lq * Lt)."""
+    P, Lq = q.shape
+    _, Lt = t.shape
+    Bw = 2 * k + 1
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    b_idx = jnp.arange(Bw, dtype=jnp.int32)[None, :]
+    pad_code = 0 if use_mask else -1
+    qp = jnp.pad(q, ((0, 0), (k + 1, k + 1 + max(0, Lt - Lq))),
+                 constant_values=pad_code)
+    i0 = b_idx - k
+    D0 = jnp.where((i0 >= 0) & (i0 <= q_lens[:, None]), i0, BIG)
+    D0 = jnp.broadcast_to(D0, (P, Bw))
+
+    def step(D, j):
+        i_here = j + b_idx - k
+        tchar = jax.lax.dynamic_index_in_dim(t, j - 1, axis=1, keepdims=False)
+        qwin = jax.lax.dynamic_slice_in_dim(qp, j, Bw, axis=1)
+        sub = _sub_fn(qwin, tchar, use_mask, eq_flat)
+        left = jnp.concatenate([D[:, 1:], jnp.full((P, 1), BIG, jnp.int32)], axis=1) + 1
+        diag = D + sub
+        cand = jnp.minimum(left, diag)
+        cand = jnp.where(i_here == 0, j, cand)
+        valid = (i_here >= 0) & (i_here <= q_lens[:, None])
+        cand = jnp.where(valid, cand, BIG)
+        Dn = jax.lax.cummin(cand - b_idx, axis=1) + b_idx
+        Dn = jnp.where(valid, Dn, BIG)
+        hit = (i_here == q_lens[:, None]) & (j <= t_lens)[:, None]
+        return Dn, jnp.min(jnp.where(hit, Dn, BIG), axis=1)
+
+    _, rows = jax.lax.scan(step, D0, jnp.arange(1, Lt + 1, dtype=jnp.int32))
+    return rows.T  # [P, Lt], column j at index j-1
+
+
+@partial(jax.jit, static_argnames=("use_mask",))
+def dp_hw_chunk_batch(
+    q: jnp.ndarray,  # [P, R] query rows 1..R (codes/bitmasks)
+    q_lens: jnp.ndarray,  # [P] int32
+    c_in: jnp.ndarray,  # [P, R+1] carried DP column (rows 0..R)
+    t: jnp.ndarray,  # [P, Wc] target chunk
+    t_lens: jnp.ndarray,  # [P] int32 valid columns in this chunk
+    wm_thr: jnp.ndarray,  # [] int32: k, the liveness threshold
+    use_mask: bool = False,
+    eq_flat: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One target chunk of the adaptive-row HW scan (the TPU recast of the
+    reference's banded semi-global pass, src/edlib.cpp:547-728: edlib prunes
+    rows per 64-row block adaptively; here rows are pruned per CHUNK, with
+    the live height decided on the host between chunks).
+
+    HW recurrence over live rows 0..R (row 0 free: a new start at every
+    column, src/edlib.cpp:226-239). Returns (c_out [P, R+1], ends [P, Wc] =
+    row-q_len value per column or BIG when q_len > R, wm [P] = highest row
+    with value <= wm_thr after the chunk). Values along any alignment path
+    are non-decreasing, so a cell whose value exceeds k can never lie on a
+    path to a <= k end; rows above the carried watermark reach <= k only
+    within Wc diagonal steps plus k insertion climbs, which bounds the next
+    chunk's live height (see _hw_banded_scan)."""
+    P, R = q.shape
+    _, Wc = t.shape
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    i_idx = jnp.arange(R + 1, dtype=jnp.int32)
+    boundary_code = jnp.zeros((P, 1), jnp.int32) if use_mask else jnp.full((P, 1), -1, jnp.int32)
+    qcol = jnp.concatenate([boundary_code, q], axis=1)
+    row_valid = i_idx[None, :] <= q_lens[:, None]
+    endmask = i_idx[None, :] == q_lens[:, None]
+
+    def step(C, j):
+        tchar = jax.lax.dynamic_index_in_dim(t, j, axis=1, keepdims=False)
+        sub = _sub_fn(qcol, tchar, use_mask, eq_flat)
+        left = C + 1
+        diag = jnp.concatenate([jnp.full((P, 1), BIG, jnp.int32), C[:, :-1]], axis=1) + sub
+        cand = jnp.minimum(left, diag)
+        cand = cand.at[:, 0].set(0)  # free start (HW prefix)
+        Cn = jax.lax.cummin(cand - i_idx[None, :], axis=1) + i_idx[None, :]
+        Cn = jnp.where(row_valid, Cn, BIG)
+        Cn = jnp.where((j < t_lens)[:, None], Cn, C)  # past t_len: freeze
+        endv = jnp.sum(jnp.where(endmask & (j < t_lens)[:, None], Cn, 0), axis=1)
+        endv = jnp.where((q_lens <= R) & (j < t_lens), endv, BIG)
+        return Cn, endv
+
+    c_out, ends = jax.lax.scan(step, c_in, jnp.arange(Wc, dtype=jnp.int32))
+    live = (c_out <= wm_thr) & row_valid
+    wm = jnp.max(jnp.where(live, i_idx[None, :], -1), axis=1)
+    return c_out, ends.T, wm
+
+
+def _hw_banded_scan(q, ql, t, tl, k, use_mask, eq_flat, Wc=256):
+    """Adaptive-row HW scan over column chunks: returns [P, Lt] row-q_len
+    values (BIG where provably > k). Host decides each chunk's live height
+    R from the previous chunk's watermark wm = highest row with value <= k:
+    a cell in the next chunk with value <= k climbs at most Wc rows
+    diagonally plus k by insertions above a carried live row (or a fresh
+    row-0 start), so R = wm + Wc + k + 1 covers every observable cell.
+    Typical cost: O((k + Wc) * Lt) cells vs the full O(Lq * Lt) — the
+    data-dependent pruning of the reference's banded semi-global pass
+    (src/edlib.cpp:547-728) at chunk granularity."""
+    P, Lq = q.shape
+    Lt = t.shape[1]
+    BIGI = int(BIG)
+    out = np.full((P, Lt), BIGI, dtype=np.int64)
+    # column 0: C(i, 0) = i (free start at row 0 only helps later columns)
+    wm = np.minimum(np.asarray(ql, dtype=np.int64), k)
+    C_cur = None
+    R_prev = 0
+    for j0 in range(0, Lt, Wc):
+        if not np.any(j0 < np.asarray(tl)):
+            break
+        need = int(wm.max()) + Wc + k + 1
+        R = min(Lq, 1 << int(np.ceil(np.log2(max(8, need)))))
+        c_in = np.full((P, R + 1), BIGI, dtype=np.int32)
+        if C_cur is None:
+            base = np.arange(R + 1, dtype=np.int32)[None, :]
+            c_in = np.where(base <= np.asarray(ql)[:, None], base, BIGI).astype(np.int32)
+        else:
+            keep = min(R_prev, R) + 1
+            c_in[:, :keep] = C_cur[:, :keep]
+        tl_chunk = np.clip(np.asarray(tl) - j0, 0, Wc).astype(np.int32)
+        c_out, ends, wm_d = dp_hw_chunk_batch(
+            q[:, :R], np.minimum(np.asarray(ql), R).astype(np.int32),
+            jnp.asarray(c_in), t[:, j0 : j0 + Wc], tl_chunk,
+            jnp.int32(k), use_mask=use_mask, eq_flat=eq_flat)
+        ends = np.asarray(ends)
+        w = min(Wc, Lt - j0)
+        out[:, j0 : j0 + w] = ends[:, :w]
+        # rows past R are pruned (> k): their end values must not leak
+        out[:, j0 : j0 + w] = np.where(
+            (np.asarray(ql)[:, None] <= R), out[:, j0 : j0 + w], BIGI)
+        C_cur = np.asarray(c_out)
+        wm = np.maximum(np.asarray(wm_d, dtype=np.int64), 0)
+        R_prev = R
+    return out
+
+
 @partial(jax.jit, static_argnames=("use_mask",))
 def dp_moves_batch(
     q: jnp.ndarray, q_lens: jnp.ndarray, t: jnp.ndarray, t_lens: jnp.ndarray,
@@ -397,11 +602,15 @@ def _hb_engages(lq: int, lt: int) -> bool:
 
 def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                     cell_limit: int | None = None,
-                    enc: _EqEncoding | None = None) -> list[int]:
+                    enc: _EqEncoding | None = None,
+                    dist: int | None = None) -> list[int]:
     """With `enc` set, q/t are RAW byte codes and every DP call transforms
     on the fly — necessary because the recursion's forward/backward sweeps
     SWAP query/target roles (the symmetry dist(a, b) = dist(b, a) holds for
-    the relation, but the q/t representations are role-specific)."""
+    the relation, but the q/t representations are role-specific).
+    `dist` = the pair's exact NW distance when the caller knows it (the
+    align_batch path always does); it seeds the exact-distance-first banding
+    of every sweep and is otherwise established by banded k-doubling."""
     if cell_limit is None:
         # resolve the module global at CALL time so a configured/patched
         # MOVES_CELL_LIMIT governs the router in _align_chunk and this
@@ -434,17 +643,48 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
         out[: len(codes), : arr.shape[1]] = arr
         return out, np.pad(lens, (0, n - len(codes)))
 
-    # ordered segments: ("ops", list) resolved | ("task", q, t) pending
-    segments: list[tuple] = [("task", q, t)]
+    def _exact_nw_dist(sq, st) -> int:
+        """Exact NW distance by banded k-doubling (src/edlib.cpp:194-212):
+        try a small band, trust the result iff it is <= k (Ukkonen), else
+        double. Only runs when the caller did not already know the distance
+        (the align_batch path always does)."""
+        lq, lt = len(sq), len(st)
+        kd = abs(lq - lt) + 8
+        while True:
+            kd = 1 << int(np.ceil(np.log2(max(2, kd))))  # pow2: cached jits
+            if 4 * kd + 2 >= min(lq, lt):
+                qb, qlb = _pad_pow2([as_q(sq)])
+                tb, tlb = _pad_pow2([as_t(st)])
+                row = np.asarray(dp_lastrow_batch(
+                    qb, qlb, tb, tlb, use_mask=use_mask, eq_flat=eq_flat))[0]
+                return int(row[lt])
+            qb, qlb = _pad_pow2([as_q(sq)])
+            tb, tlb = _pad_pow2([as_t(st)])
+            d = int(np.asarray(dp_banded_nw_batch(
+                qb, qlb, tb, tlb, k=int(kd), use_mask=use_mask,
+                eq_flat=eq_flat))[0])
+            if d <= kd:
+                return d
+            kd *= 2
+
+    if dist is None:
+        dist = _exact_nw_dist(q, t) if len(q) and len(t) else None
+
+    # ordered segments: ("ops", list) resolved | ("task", q, t, d) pending,
+    # d = the segment's exact NW distance, inherited from the parent split
+    # (leftScore/rightScore, src/edlib.cpp:1377-1385) so every level's
+    # sweeps can band to |i - jm| <= d instead of sweeping all Lq rows —
+    # the exact-distance-first banding that turns a level from O(Lq * Lt)
+    # into O(d * Lt) cells
+    segments: list[tuple] = [("task", q, t, dist)]
     while any(s[0] == "task" for s in segments):
         # classify pending tasks: trivial, base (move matrix fits), split
         base: list[int] = []
         jobs: list[int] = []
-        fwd_q, fwd_t, bwd_q, bwd_t = [], [], [], []
         for si, seg in enumerate(segments):
             if seg[0] != "task":
                 continue
-            _, sq, st = seg
+            _, sq, st, sd = seg
             lq, lt = len(sq), len(st)
             if lq == 0:
                 segments[si] = ("ops", [EDOP_DELETE] * lt)
@@ -461,14 +701,7 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                 # tens of millions (28 bytes/row), far past its own limits
                 base.append(si)
             else:
-                jm = lt // 2
                 jobs.append(si)
-                # fwd[i] = dist(q[:i], t[:jm]) = lastrow(t[:jm], q)[i]
-                fwd_q.append(st[:jm].copy())
-                fwd_t.append(sq)
-                # bwd[Lq-i] = dist(q[i:], t[jm:]) = lastrow(rev t2, rev q)[Lq-i]
-                bwd_q.append(st[jm:][::-1].copy())
-                bwd_t.append(sq[::-1].copy())
         # resolve base tasks in bounded bites (the [n, Lt+1, Lq+1] move
         # tensor of a batch must stay well under HBM)
         bite_n = max(1, MOVES_BATCH_CELL_BUDGET // cell_limit)
@@ -480,42 +713,102 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                                       eq_flat=eq_flat)
             moves = np.asarray(moves)
             for ii, si in enumerate(part):
-                _, sq, st = segments[si]
+                _, sq, st = segments[si][:3]
                 segments[si] = ("ops", _moves_to_ops(moves[ii], len(sq), len(st)))
         if not jobs:
             continue
-        q_all, ql_all = _pad_pow2([as_q(x) for x in fwd_q + bwd_q])
-        t_all, tl_all = _pad_pow2([as_t(x) for x in fwd_t + bwd_t])
-        rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all,
-                                           use_mask=use_mask, eq_flat=eq_flat))
         nj = len(jobs)
+        # band half-width for this level: the fwd sweep needs rows
+        # |i - jm| <= d, the bwd sweep (reversed coordinates) additionally
+        # shifts by |lq - lt|; one shared static width keeps the jit cached
+        kb = 0
+        max_lq = 0
+        for si in jobs:
+            _, sq, st, sd = segments[si]
+            kb = max(kb, int(sd) + abs(len(sq) - len(st)))
+            max_lq = max(max_lq, len(sq))
+        kb = 1 << int(np.ceil(np.log2(max(8, kb + 1))))
+        banded = 2 * kb + 1 < max_lq
+        if banded:
+            fq, ft, bq, bt = [], [], [], []
+            for si in jobs:
+                _, sq, st, _ = segments[si]
+                jm = len(st) // 2
+                # fwd band at column jm: f[i] = dist(q[:i], t[:jm])
+                fq.append(sq)
+                ft.append(st[:jm].copy())
+                # bwd band at column lt-jm of the reversed halves:
+                # cap[i''] = dist(q[i:], t[jm:]) with i = lq - i''
+                bq.append(sq[::-1].copy())
+                bt.append(st[jm:][::-1].copy())
+            q_all, ql_all = _pad_pow2([as_q(x) for x in fq + bq])
+            t_all, tl_all = _pad_pow2([as_t(x) for x in ft + bt])
+            caps = np.asarray(dp_banded_lastrow_batch(
+                q_all, ql_all, t_all, tl_all, k=int(kb),
+                use_mask=use_mask, eq_flat=eq_flat))
+        else:
+            # narrow problems: the plain full sweep is cheaper than band
+            # bookkeeping. fwd[i] = dist(q[:i], t[:jm]) = lastrow(t[:jm], q)
+            fwd_q, fwd_t, bwd_q, bwd_t = [], [], [], []
+            for si in jobs:
+                _, sq, st, _ = segments[si]
+                jm = len(st) // 2
+                fwd_q.append(st[:jm].copy())
+                fwd_t.append(sq)
+                bwd_q.append(st[jm:][::-1].copy())
+                bwd_t.append(sq[::-1].copy())
+            q_all, ql_all = _pad_pow2([as_q(x) for x in fwd_q + bwd_q])
+            t_all, tl_all = _pad_pow2([as_t(x) for x in fwd_t + bwd_t])
+            rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all,
+                                               use_mask=use_mask,
+                                               eq_flat=eq_flat))
         # replace each split task by (left half, right half) in order;
         # reverse iteration keeps earlier segment indices valid
         for rev_i in range(nj - 1, -1, -1):
             si = jobs[rev_i]
-            _, sq, st = segments[si]
+            _, sq, st, sd = segments[si]
             lq, lt = len(sq), len(st)
             jm = lt // 2
-            f = rows[rev_i, : lq + 1]
-            b = rows[nj + rev_i, : lq + 1][::-1]  # b[i] = dist(q[i:], t[jm:])
+            best_tot = int(sd)
+            if banded:
+                fband = caps[rev_i]
+                bband = caps[nj + rev_i]
+
+                def fval(i):
+                    bi = i - jm + kb
+                    return int(fband[bi]) if 0 <= bi < 2 * kb + 1 else int(BIG)
+
+                def bval(i):
+                    bi = (lq - i) - (lt - jm) + kb
+                    return int(bband[bi]) if 0 <= bi < 2 * kb + 1 else int(BIG)
+            else:
+                f = rows[rev_i, : lq + 1]
+                b = rows[nj + rev_i, : lq + 1][::-1]
+                fval = lambda i: int(f[i])  # noqa: E731
+                bval = lambda i: int(b[i])  # noqa: E731
             # the reference's split-row scan order (src/edlib.cpp:1326-1361):
             # interior rows ascending FIRST (its main loop covers left-column
             # rows 0..Lq-2, i.e. split rows 1..Lq-1), then the row-0 boundary
             # ("whole left target deleted"), then the row-Lq boundary. Plain
             # smallest-row argmin diverges whenever row 0 ties an interior
-            # row — output-visible, so the order is mirrored exactly.
-            tot = f + b
-            best_tot = int(tot.min())
-            interior = np.flatnonzero(tot[1:lq] == best_tot)
-            if interior.size:
-                i_star = int(interior[0]) + 1
-            elif int(tot[0]) == best_tot:
+            # row — output-visible, so the order is mirrored exactly. Rows
+            # outside the band cannot be optimal (f or b would exceed d), so
+            # the banded scan sees every candidate the reference's does.
+            i_star = -1
+            lo = max(1, jm - kb) if banded else 1
+            hi = min(lq - 1, jm + kb) if banded else lq - 1
+            for i in range(lo, hi + 1):
+                if fval(i) + bval(i) == best_tot:
+                    i_star = i
+                    break
+            if i_star < 0 and fval(0) + bval(0) == best_tot:
                 i_star = 0
-            else:
+            if i_star < 0:
+                assert fval(lq) + bval(lq) == best_tot, (lq, lt, sd)
                 i_star = lq
             segments[si : si + 1] = [
-                ("task", sq[:i_star].copy(), st[:jm].copy()),
-                ("task", sq[i_star:].copy(), st[jm:].copy()),
+                ("task", sq[:i_star].copy(), st[:jm].copy(), fval(i_star)),
+                ("task", sq[i_star:].copy(), st[jm:].copy(), bval(i_star)),
             ]
     out: list[int] = []
     for seg in segments:
@@ -591,6 +884,38 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             else:
                 dists[p] = band[p]
             ends.append([int(tl[p]) - 1])
+    elif mode == "SHW" and 0 <= k and 2 * (2 * k + 1) < q.shape[1]:
+        # small-k SHW fast path: every end the k-threshold contract can
+        # observe lies in target columns [q_len - k, q_len + k] (SHW cells
+        # are NW cells, so the |i - j| <= k band is exact for values <= k,
+        # src/edlib.cpp:547-571); the scan also stops at max(q_len) + k
+        # columns — O(k * q_len) cells instead of O(Lq * Lt)
+        Ltc = min(t.shape[1], int(ql.max()) + k + 1)
+        rows_b = np.asarray(dp_banded_shw_rows(
+            q, ql, t[:, :Ltc], tl, k=int(k), use_mask=use_mask,
+            eq_flat=eq_flat))
+        for p in range(n):
+            row = rows_b[p, : min(Ltc, int(tl[p]))]
+            d0 = int(ql[p])  # column j=0: empty target, always exact
+            m = int(row.min()) if row.size else d0
+            dists[p] = min(m, d0)
+            es = [-1] if d0 == dists[p] else []
+            es += [int(j) for j in np.flatnonzero(row == dists[p])]
+            ends.append(es)
+    elif mode == "HW" and 0 <= k and q.shape[1] > 2 * (2 * k + 256):
+        # small-k HW on a tall query: the adaptive-row chunk scan computes
+        # O((k + chunk) * Lt) cells instead of O(Lq * Lt); values above k
+        # are reported as BIG, which is all the k-threshold contract
+        # observes (src/edlib.cpp:547-728's banded semi-global pass)
+        rows_b = _hw_banded_scan(q, ql, t, tl, int(k), use_mask, eq_flat)
+        for p in range(n):
+            row = rows_b[p, : tl[p]]
+            d0 = int(ql[p])  # column j=0: empty target span
+            m = int(row.min()) if row.size else d0
+            dists[p] = min(m, d0)
+            es = [-1] if d0 == dists[p] else []
+            es += [int(j) for j in np.flatnonzero(row == dists[p])]
+            ends.append(es)
     else:
         rows = np.asarray(dp_lastrow_batch(
             q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask,
@@ -618,11 +943,19 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             for p in range(n):
                 if not found[p]:
                     continue
+                # the optimal start for end e spans at most q_len + dist
+                # target chars (each extra char costs >= 1), so the reversed
+                # target slice is clamped to that length — the start pass on
+                # a megabase target costs O((q_len + d)^2) per end, not
+                # O(q_len * e) (the reference's banded semi-global pass,
+                # src/edlib.cpp:547-571, achieves the same bound adaptively)
+                span = int(ql[p]) + int(dists[p]) + 1
                 for e in ends[p]:
                     if e >= 0:
                         idx.append((p, e))
                         rqs.append(qs[p][::-1].copy())
-                        rts.append(ts[p][e::-1].copy())
+                        lo = max(-1, e - span)
+                        rts.append(ts[p][e : lo if lo >= 0 else None : -1].copy())
             if idx:
                 rq, rql = _pad_batch(rqs)
                 rt, rtl = _pad_batch(rts)
@@ -661,7 +994,7 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
                     or (len(qs[p]) + 1) * (len(sub_t) + 1) > MOVES_CELL_LIMIT):
                 cigars[p] = _ops_to_cigar(
                     _hirschberg_ops(qs_raw[p], ts_raw[p][s0 : e0 + 1].copy(),
-                                    enc=enc), extended)
+                                    enc=enc, dist=int(dists[p])), extended)
                 continue
             idx2.append(p)
             pqs.append(qs[p])

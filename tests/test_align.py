@@ -414,3 +414,75 @@ def test_wide_alphabet_equalities_reference_parity():
         assert r["endLocations"] == c["endLocations"]
         if c["startLocations"]:
             assert r["startLocations"] == c["startLocations"]
+
+
+def test_banded_hirschberg_low_divergence():
+    """Low-divergence long pairs take the banded sweep branch (band width
+    tracks the exact distance, not Lq); the path must stay valid+optimal
+    and identical to the full-sweep recursion's output — the split rows are
+    determined by the same (f + b == d) scan order, banded or not."""
+    import numpy as np
+
+    from stringdecomposer_tpu.ops.align import _hirschberg_ops
+
+    rng = np.random.default_rng(23)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t = rng.choice(alpha, 4096).astype(np.uint8)
+    q = t.copy()
+    mut = rng.random(4096) < 0.02
+    q[mut] = rng.choice(alpha, int(mut.sum()))
+    ops = _hirschberg_ops(q, t, cell_limit=1024)   # banding engages: d ~ 60
+    _validate_ops(ops, q, t, _ref_dist(q, t))
+    # known-distance path (align_batch route) must agree exactly
+    ops2 = _hirschberg_ops(q, t, cell_limit=1024, dist=_ref_dist(q, t))
+    assert ops == ops2
+
+
+def test_banded_shw_matches_full(align_cases):
+    """SHW with 0 <= k takes dp_banded_shw_rows; results must equal the
+    full-scan route (which the reference fixtures pin) for every fixture
+    pair and k in a spread that includes not-found cases."""
+    cases = [c for c in align_cases if c["mode"] == "SHW"][:40]
+    qs = [c["q"] for c in cases]
+    ts = [c["t"] for c in cases]
+    for k in [0, 1, 3, 10]:
+        got = align_batch(qs, ts, mode="SHW", task="locations", k=k)
+        want = [align_batch([q], [t], mode="SHW", task="locations", k=10**9)[0]
+                for q, t in zip(qs, ts)]
+        for g, w, c in zip(got, want, cases):
+            if w["editDistance"] <= k:
+                assert g["editDistance"] == w["editDistance"], c["q"]
+                assert g["endLocations"] == w["endLocations"], c["q"]
+                assert g["startLocations"] == w["startLocations"]
+            else:
+                assert g["editDistance"] == -1
+                assert g["endLocations"] == []
+
+
+def test_banded_hw_matches_full():
+    """Tall-query HW with small k takes the adaptive-row chunk scan
+    (_hw_banded_scan); distance, end locations, and start locations must
+    equal the full free-prefix scan's, including the not-found contract."""
+    import numpy as np
+
+    import stringdecomposer_tpu.ops.align as A
+
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    q = rng.choice(alpha, 4000).astype(np.uint8)
+    t = rng.choice(alpha, 20000).astype(np.uint8)
+    for off in (3000, 12000):
+        seg = q.copy()
+        mut = rng.random(4000) < 0.01
+        seg[mut] = rng.choice(alpha, int(mut.sum()))
+        t[off:off + 4000] = seg
+    want = align_batch([q], [t], mode="HW", task="locations", k=10**9)[0]
+    assert 0 < want["editDistance"] <= 80  # the planted copy is findable
+    for k in (80, 200, want["editDistance"] - 1):
+        got = align_batch([q], [t], mode="HW", task="locations", k=k)[0]
+        if want["editDistance"] <= k:
+            assert got["editDistance"] == want["editDistance"]
+            assert got["endLocations"] == want["endLocations"]
+            assert got["startLocations"] == want["startLocations"]
+        else:
+            assert got["editDistance"] == -1 and got["endLocations"] == []
