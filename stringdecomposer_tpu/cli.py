@@ -29,8 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("monomers", help="fasta-file with monomers")
     p.add_argument(
         "-t", "--threads", default="1", required=False,
-        help="number of host threads for result assembly (device count is "
-        "auto-detected; kept for reference CLI compatibility)",
+        help="host threads for the finishing stage's encode/dispatch "
+        "(device count is auto-detected; 1 = synchronous)",
     )
     p.add_argument("-o", "--out-dir", default=".", required=False,
                    help="output directory (by default .)")
@@ -204,6 +204,7 @@ def _execute(args) -> int:
                 resume=args.resume,
                 data_parallel=args.data_parallel,
                 stream_reads=args.stream_reads,
+                threads=max(1, int(args.threads)),
             )
         else:
             run(
@@ -222,6 +223,7 @@ def _execute(args) -> int:
                 resume=args.resume,
                 stream_reads=args.stream_reads,
                 identity_kernel=identity_kernel,
+                threads=max(1, int(args.threads)),
             )
     except InvalidSymbolError as e:
         logger.error("ERROR: %s", e)

@@ -182,13 +182,18 @@ def finish_reads(
     model_file: str | None = None,
     flush_pairs: int = 1 << 20,
     kernel=None,
+    threads: int = 1,
 ) -> list[tuple[str, list[FinishedBlock]]]:
     """Rescore every block; returns finished blocks per read, same order.
 
     Memory is bounded: reads accumulate into the flat pair batch only until
     `flush_pairs` pairs are pending, then the batch is scored and finished —
     a 100 Mbp assembly streams through in ~1M-pair bites instead of
-    materializing ~30M encoded pairs at once."""
+    materializing ~30M encoded pairs at once. Up to 4 groups stay in flight
+    (dispatch split from gather), and with `threads > 1` the host-side
+    encode/dispatch of later groups runs on a thread pool while earlier
+    groups assemble — the analog of the reference's OpenMP gather
+    (src/main.cpp:84-121)."""
     out: list[tuple[str, list[FinishedBlock]]] = []
     group: list[tuple[str, list[dict]]] = []
     pending = 0
@@ -196,13 +201,38 @@ def finish_reads(
     stride = 2 * M if second_best else 1
     max_blocks = max(1, flush_pairs // stride)
 
+    mono_names = [m.name for m in monomers_interleaved]
+    name_to_idx = {n: i for i, n in enumerate(mono_names)}
+    mono_codes = [encode(m.seq) for m in monomers_interleaved]
+    homo_codes = [encode(homo_compress(m.seq)) for m in monomers_interleaved]
+    coef = load_coefficients(model_file)
+    kernel = kernel or _resolve_identity_kernel()
+    cache = _CodesCache(reads_by_name)
+    pool = None
+    if threads and threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=threads)
+    from collections import deque
+
+    inflight: deque = deque()
+
+    def dispatch(g):
+        return _dispatch_finish_group(g, cache, mono_codes, homo_codes,
+                                      name_to_idx, second_best, kernel)
+
+    def gather_one():
+        pg = inflight.popleft()
+        if pool is not None:
+            pg = pg.result()
+        out.extend(_gather_finish_group(pg, mono_names, name_to_idx, coef))
+
     def flush():
         nonlocal group, pending
         if group:
-            out.extend(
-                _finish_group(group, reads_by_name, monomers_interleaved,
-                              second_best, model_file, kernel=kernel)
-            )
+            inflight.append(pool.submit(dispatch, group) if pool else dispatch(group))
+            while len(inflight) > 3:
+                gather_one()
             group, pending = [], 0
 
     for read_name, blocks in per_read_blocks:
@@ -216,6 +246,10 @@ def finish_reads(
             if pending >= flush_pairs:
                 flush()
     flush()
+    while inflight:
+        gather_one()
+    if pool is not None:
+        pool.shutdown(wait=True)
     # re-merge split reads so callers see one group per input read
     merged: list[tuple[str, list[FinishedBlock]]] = []
     gi = 0
@@ -229,9 +263,38 @@ def finish_reads(
     return merged
 
 
+class _CodesCache:
+    """Lazily encodes each read ONCE; block substrings become int8 slice
+    views instead of per-block str->encode->str roundtrips (the reference
+    re-slices and re-validates the string per block, main.py:124-130; at
+    20 Mbp that is ~10^5 tiny Python/NumPy calls on the host's critical
+    path). Entries are dropped by the caller when a read is finished."""
+
+    def __init__(self, reads_by_name: dict[str, str]):
+        self.reads = reads_by_name
+        self.codes: dict[str, np.ndarray] = {}
+
+    def get(self, name: str) -> np.ndarray:
+        c = self.codes.get(name)
+        if c is None:
+            c = self.codes[name] = encode(self.reads[name])
+        return c
+
+    def drop(self, name: str) -> None:
+        self.codes.pop(name, None)
+
+
+def _homo_codes(c: np.ndarray) -> np.ndarray:
+    """homo_compress on already-encoded int8 codes (distinct ACGTN chars
+    map to distinct codes, so run collapse commutes with encoding)."""
+    if len(c) == 0:
+        return c
+    return c[np.concatenate(([True], c[1:] != c[:-1]))]
+
+
 def _dispatch_finish_group(
     per_read_blocks: list[tuple[str, list[dict]]],
-    reads_by_name: dict[str, str],
+    codes_cache: _CodesCache,
     mono_codes: list[np.ndarray],
     homo_codes: list[np.ndarray],
     name_to_idx: dict[str, int],
@@ -246,12 +309,12 @@ def _dispatch_finish_group(
     subs: list[np.ndarray] = []
     homo_subs: list[np.ndarray] = []
     for read_name, blocks in per_read_blocks:
-        seq = reads_by_name[read_name]
+        codes = codes_cache.get(read_name)
         for d in blocks:
-            sub = seq[d["start"] : d["end"] + 1]
-            subs.append(encode(sub))
+            sub = codes[d["start"] : d["end"] + 1]
+            subs.append(sub)
             if second_best:
-                homo_subs.append(encode(homo_compress(sub)))
+                homo_subs.append(_homo_codes(sub))
     pg = {"group": per_read_blocks, "n": len(subs), "second_best": second_best}
     if second_best:
         # blocks upload once; the M-fold pair expansion happens ON DEVICE
@@ -331,6 +394,8 @@ def _finish_group(
     model_file: str | None,
     kernel=None,
 ) -> list[tuple[str, list[FinishedBlock]]]:
+    """One-shot dispatch+gather of a single group (test/debug convenience;
+    the pipelined callers drive dispatch/gather directly)."""
     mono_names = [m.name for m in monomers_interleaved]
     name_to_idx = {n: i for i, n in enumerate(mono_names)}
     mono_codes = [encode(m.seq) for m in monomers_interleaved]
@@ -338,8 +403,8 @@ def _finish_group(
     coef = load_coefficients(model_file)
     kernel = kernel or _resolve_identity_kernel()
     pg = _dispatch_finish_group(
-        per_read_blocks, reads_by_name, mono_codes, homo_codes, name_to_idx,
-        second_best, kernel,
+        per_read_blocks, _CodesCache(reads_by_name), mono_codes, homo_codes,
+        name_to_idx, second_best, kernel,
     )
     return _gather_finish_group(pg, mono_names, name_to_idx, coef)
 
@@ -467,8 +532,9 @@ class AsyncFinisher:
         model_file: str | None = None,
         kernel=None,
         max_inflight: int = 3,
+        threads: int = 1,
     ):
-        self.reads_by_name = reads_by_name
+        self.codes = _CodesCache(reads_by_name)
         self.mono_names = [m.name for m in monomers_interleaved]
         self.name_to_idx = {n: i for i, n in enumerate(self.mono_names)}
         self.mono_codes = [encode(m.seq) for m in monomers_interleaved]
@@ -477,33 +543,49 @@ class AsyncFinisher:
         self.second_best = second_best
         self.kernel = kernel or _resolve_identity_kernel()
         self.max_inflight = max_inflight
+        self.pool = None
+        if threads and threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self.pool = ThreadPoolExecutor(max_workers=threads)
         from collections import deque
 
         self._q: deque = deque()
 
+    def _dispatch(self, group):
+        return _dispatch_finish_group(
+            group, self.codes, self.mono_codes, self.homo_codes,
+            self.name_to_idx, self.second_best, self.kernel,
+        )
+
     def submit(self, read_name: str, blocks: list[dict]):
         """Queue one chunk's scoring; returns any groups that became ready
-        (in submission order) once the in-flight bound is exceeded."""
-        pg = _dispatch_finish_group(
-            [(read_name, blocks)], self.reads_by_name, self.mono_codes,
-            self.homo_codes, self.name_to_idx, self.second_best, self.kernel,
-        )
-        self._q.append(pg)
+        (in submission order) once the in-flight bound is exceeded. With a
+        thread pool, the encode+dispatch runs off the caller's thread — the
+        producer keeps feeding DP batches while -t workers prep finishing
+        groups (the reference's OpenMP gather, src/main.cpp:84-121)."""
+        group = [(read_name, blocks)]
+        self._q.append(self.pool.submit(self._dispatch, group) if self.pool
+                       else self._dispatch(group))
         out = []
         while len(self._q) > self.max_inflight:
             out.extend(self._gather_one())
         return out
 
     def _gather_one(self):
-        return _gather_finish_group(
-            self._q.popleft(), self.mono_names, self.name_to_idx, self.coef
-        )
+        pg = self._q.popleft()
+        if self.pool is not None:
+            pg = pg.result()
+        return _gather_finish_group(pg, self.mono_names, self.name_to_idx,
+                                    self.coef)
 
     def drain(self):
         """Gather every remaining group, in order."""
         out = []
         while self._q:
             out.extend(self._gather_one())
+        if self.pool is not None:
+            self.pool.shutdown(wait=True)
         return out
 
 

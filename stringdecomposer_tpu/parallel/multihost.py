@@ -276,6 +276,7 @@ def run_multihost(
     liveness_grace: float = 120.0,
     salvage_dead_hosts: bool = True,
     stream_reads: int = 0,
+    threads: int = 1,
 ) -> str | None:
     """Full pipeline across hosts. Returns the final TSV path on host 0,
     None on other hosts.
@@ -414,6 +415,7 @@ def run_multihost(
             finished = finish_reads(
                 per_read_raw, reads_by_name, monomers_fin,
                 second_best=second_best, kernel=identity_kernel,
+                threads=threads,
             )
             write_final_rows(fo, fa, finished, identity_th=min_identity)
             for rname, blocks in finished:

@@ -370,6 +370,7 @@ def run(
     resume: bool = False,
     stream_reads: int = 0,
     identity_kernel=None,
+    threads: int = 1,
 ) -> str:
     """Full pipeline: FASTA -> raw TSV -> rescoring -> final + alt TSVs.
 
@@ -394,6 +395,7 @@ def run(
             sequences_path, monomers_path, out_dir, out_file, min_identity,
             scoring, batch_size, overlap, second_best, ed_thr, device_batch,
             forward_fn, stream_reads, identity_kernel=identity_kernel,
+            threads=threads,
         )
     reads = load_fasta(sequences_path)
     monomers_fwd = load_fasta(monomers_path)
@@ -437,7 +439,7 @@ def run(
         t0 = time.perf_counter()
         finished = finish_reads(
             per_read_raw, reads_by_name, monomers_fin, second_best=second_best,
-            kernel=identity_kernel,
+            kernel=identity_kernel, threads=threads,
         )
         logger.info("Rescoring stage finished in %.2fs", time.perf_counter() - t0)
         write_final_tsv(final_path, alt_path, finished, identity_th=min_identity)
@@ -462,7 +464,7 @@ def run(
     reads_by_name = {r.name: r.seq.upper() for r in reads}
     finisher = AsyncFinisher(
         reads_by_name, monomers_fin, second_best=second_best,
-        kernel=identity_kernel,
+        kernel=identity_kernel, threads=threads,
     )
     from .finishing import write_final_rows
 
@@ -500,6 +502,7 @@ def _run_streaming(
     forward_fn,
     stream_reads: int,
     identity_kernel=None,
+    threads: int = 1,
 ) -> str:
     """Bounded-memory runner: reads stream through the pipeline in groups of
     `stream_reads`, raw/final/alt rows append incrementally — flowcell-scale
@@ -555,6 +558,7 @@ def _run_streaming(
             finished = finish_reads(
                 per_read_raw, reads_by_name, monomers_fin,
                 second_best=second_best, kernel=identity_kernel,
+                threads=threads,
             )
             write_final_rows(fout, falt, finished, identity_th=min_identity)
             n_reads += len(group)
