@@ -123,6 +123,22 @@ def main() -> int:
             n_e2e = sum(1 for _ in f)
     e2e_assign_per_s = n_e2e / dt_e2e
 
+    # sustained scale: one 20 Mbp assembly read, streamed (bounded RSS), all
+    # shapes already warm from the 1.6 Mbp run — the e2e-vs-DP gap must hold
+    # at flowcell scale, not just at the small point (round-2 verdict item 2)
+    asm20 = synthesize(20_000_000, monomers_fwd, np.random.default_rng(1))
+    with tempfile.TemporaryDirectory() as td:
+        asm_fa = os.path.join(td, "asm20.fa")
+        with open(asm_fa, "w") as f:
+            f.write(">asm20\n" + asm20 + "\n")
+        t0 = time.perf_counter()
+        final = pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "t"),
+                             second_best=True, device_batch=152, threads=4)
+        dt_20 = time.perf_counter() - t0
+        with open(final) as f:
+            n_20 = sum(1 for _ in f)
+    e2e_20m_per_s = n_20 / dt_20
+
     print(json.dumps({
         "metric": "monomer assignments/s per chip (raw DP stage, test read, TSV byte-verified)",
         "value": round(assign_per_s, 1),
@@ -133,6 +149,8 @@ def main() -> int:
             "dp_roll_bw_utilization": round(roll_util, 3),
             "e2e_second_best_assignments_per_s": round(e2e_assign_per_s, 1),
             "e2e_vs_dp_stage": round(assign_per_s / e2e_assign_per_s, 2),
+            "e2e_20mbp_assignments_per_s": round(e2e_20m_per_s, 1),
+            "e2e_20mbp_vs_dp_stage": round(assign_per_s / e2e_20m_per_s, 2),
             "e2e_includes": "full pipeline.run on a 1.6 Mbp assembly: overlapped DP + 48-way rescoring + reliability + TSV write; golden-byte-verified on the test read",
         },
     }))

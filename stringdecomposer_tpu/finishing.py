@@ -268,7 +268,9 @@ class _CodesCache:
     views instead of per-block str->encode->str roundtrips (the reference
     re-slices and re-validates the string per block, main.py:124-130; at
     20 Mbp that is ~10^5 tiny Python/NumPy calls on the host's critical
-    path). Entries are dropped by the caller when a read is finished."""
+    path). The cache lives as long as its reads_by_name dict (the codes add
+    ~1 byte/bp to the 1-byte/bp strings already held); streaming callers
+    create one cache per bounded read group."""
 
     def __init__(self, reads_by_name: dict[str, str]):
         self.reads = reads_by_name
