@@ -141,6 +141,7 @@ def _dp_kernel(
     match: int,
     dtype,
     packed: bool,
+    group_mode: str = "concat",
 ):
     R = BT * m_pad
     NEG = _neg(dtype)
@@ -194,10 +195,32 @@ def _dp_kernel(
             s *= 2
         return tb - PACK_BIAS, p
 
+    # precomputed sublane-group ids for the subroll group_max
+    _row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    _gid = _row // m_pad
+
     def group_max(end_v):
         # per-window chain score: max over each m_pad-row group of the [R, 1]
-        # end column (int32 reduce: Mosaic lacks narrow-int reductions)
+        # end column. Two formulations, chosen statically (group_mode):
+        #   concat  - BT narrow reduces + splats + one concat (int32 reduce:
+        #             Mosaic lacks narrow-int reductions)
+        #   subroll - masked sublane-roll doubling: a down-pass (within-group
+        #             prefix max) and an up-pass (suffix max); their max is
+        #             the group max at every row — no reduces, no concat,
+        #             2*ceil(log2(m_pad)) rolls of the narrow [R, 1] column
+        # Which is faster is layout-dependent (narrow columns occupy R/8
+        # 1/128-full vregs either way); scripts/ablate_chain.py measures.
         col = end_v.astype(jnp.int32)
+        if group_mode == "subroll":
+            pre, suf = col, col
+            s = 1
+            while s < m_pad:
+                ok = pltpu.roll(_gid, s, 0) == _gid
+                pre = jnp.maximum(pre, jnp.where(ok, pltpu.roll(pre, s, 0), NEG))
+                ok2 = pltpu.roll(_gid, R - s, 0) == _gid
+                suf = jnp.maximum(suf, jnp.where(ok2, pltpu.roll(suf, R - s, 0), NEG))
+                s *= 2
+            return jnp.maximum(pre, suf).astype(dtype)
         parts = []
         for b in range(BT):
             seg = col[b * m_pad : (b + 1) * m_pad, :]
@@ -326,7 +349,7 @@ def _right_align(rows: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "ins", "dele", "mismatch", "match", "max_blocks", "block_windows",
-        "pos_tile", "state_dtype",
+        "pos_tile", "state_dtype", "group_mode",
     ),
 )
 def chain_dp_forward_pallas(
@@ -342,8 +365,14 @@ def chain_dp_forward_pallas(
     block_windows: int = 0,  # BT: windows per grid step; 0 = auto (VMEM fit)
     pos_tile: int = POS_TILE,  # keep 128 on hardware (lane alignment)
     state_dtype: str = "auto",  # "int16" | "int32" | "auto" (int16 if safe)
+    group_mode: str | None = None,  # chain group-max formulation (_dp_kernel);
+    # None -> $SDTPU_GROUP_MODE or "concat" (A/B without caller plumbing)
 ):
     """Drop-in replacement for ops/chain_dp.chain_dp_forward."""
+    if group_mode is None:
+        import os
+
+        group_mode = os.environ.get("SDTPU_GROUP_MODE", "concat")
     B, W = windows.shape
     # mono may be shared [M, L] or per-window [B, M, L] (ed_thr filter)
     per_window = mono.ndim == 3
@@ -418,7 +447,7 @@ def chain_dp_forward_pallas(
     kernel = partial(
         _dp_kernel, L=L_pad, BT=BT, m_pad=m_pad, pos_tile=pos_tile,
         ins=ins, dele=dele, mismatch=mismatch, match=match, dtype=dtype,
-        packed=packed,
+        packed=packed, group_mode=group_mode,
     )
     interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
     end_rest, spend_rest = pl.pallas_call(

@@ -140,3 +140,25 @@ def test_large_monomer_library_matches_oracle():
             for g in blocks_from_device(bl[b], ct[b])
         ]
         assert got == want, b
+
+
+@pytest.mark.parametrize("bt", [1, 2])
+def test_group_mode_subroll_matches_concat(random_cases, bt):
+    """The sublane-roll group-max (chain score) formulation must be
+    cell-exact vs the reduce+concat one, including the BT=1 wrap-around
+    path of the masked rolls."""
+    case = random_cases[0]
+    monomers = add_reverse_complement([Record(n, s) for n, s in case["monomers"]])
+    mono, lens = pad_monomers(
+        monomers, pad_to=(max(len(m.seq) for m in monomers) + 7) // 8 * 8
+    )
+    sc = case["scoring"]
+    seq = case.get("read") or case["reads"][1][1]
+    wins = [encode(seq[:60]), encode(seq[:37]), encode(seq[:64])]
+    wb, wl = build_window_batch(wins, 64)
+    kw = dict(ins=sc[0], dele=sc[1], mismatch=sc[2], match=sc[3],
+              block_windows=bt, pos_tile=16)
+    a = chain_dp_forward_pallas(wb, wl, mono, lens, group_mode="concat", **kw)
+    b = chain_dp_forward_pallas(wb, wl, mono, lens, group_mode="subroll", **kw)
+    for x, y, nm in zip(a, b, ["blocks", "counts"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), nm
