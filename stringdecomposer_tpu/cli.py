@@ -166,9 +166,13 @@ def _execute(args) -> int:
     from .io.fasta import InvalidSymbolError
     from .pipeline import run
 
+    multihost_mode = args.coordinator is not None or args.num_hosts > 1
     forward_fn = None
     identity_kernel = None
-    if args.data_parallel:
+    if args.data_parallel and not multihost_mode:
+        # multihost builds its own sharded kernels AFTER jax.distributed
+        # bring-up (building them here would initialize the backend first
+        # and break --coordinator startup)
         from .parallel.sharding import make_sharded_forward, make_sharded_identity
 
         forward_fn = make_sharded_forward()
@@ -180,7 +184,7 @@ def _execute(args) -> int:
 
         profiler_cm = jax.profiler.trace(args.profile_dir)
         profiler_cm.__enter__()
-    multihost = args.coordinator is not None or args.num_hosts > 1
+    multihost = multihost_mode
     try:
         if multihost:
             from .parallel.multihost import HostTopology, run_multihost

@@ -163,11 +163,15 @@ def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=4096):
     return pending
 
 
-def _pad_codes(codes: list[np.ndarray], mult: int = 128) -> tuple[np.ndarray, np.ndarray]:
+def _pad_codes(
+    codes: list[np.ndarray], mult: int = 128, rows: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad to [rows, L128]; extra rows are length-0 queries (never win)."""
     L = max(1, max((len(c) for c in codes), default=1))
     L = (L + mult - 1) // mult * mult
-    arr = np.zeros((len(codes), L), dtype=np.int8)
-    lens = np.zeros(len(codes), dtype=np.int32)
+    n = max(rows or 0, len(codes))
+    arr = np.zeros((n, L), dtype=np.int8)
+    lens = np.zeros(n, dtype=np.int32)
     for i, c in enumerate(codes):
         arr[i, : len(c)] = c
         lens[i] = len(c)
@@ -201,55 +205,33 @@ def finish_reads(
     stride = 2 * M if second_best else 1
     max_blocks = max(1, flush_pairs // stride)
 
-    mono_names = [m.name for m in monomers_interleaved]
-    name_to_idx = {n: i for i, n in enumerate(mono_names)}
-    mono_codes = [encode(m.seq) for m in monomers_interleaved]
-    homo_codes = [encode(homo_compress(m.seq)) for m in monomers_interleaved]
-    coef = load_coefficients(model_file)
-    kernel = kernel or _resolve_identity_kernel()
-    cache = _CodesCache(reads_by_name)
-    pool = None
-    if threads and threads > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=threads)
-    from collections import deque
-
-    inflight: deque = deque()
-
-    def dispatch(g):
-        return _dispatch_finish_group(g, cache, mono_codes, homo_codes,
-                                      name_to_idx, second_best, kernel)
-
-    def gather_one():
-        pg = inflight.popleft()
-        if pool is not None:
-            pg = pg.result()
-        out.extend(_gather_finish_group(pg, mono_names, name_to_idx, coef))
+    fin = AsyncFinisher(
+        reads_by_name, monomers_interleaved, second_best=second_best,
+        model_file=model_file, kernel=kernel, threads=threads,
+    )
 
     def flush():
         nonlocal group, pending
         if group:
-            inflight.append(pool.submit(dispatch, group) if pool else dispatch(group))
-            while len(inflight) > 3:
-                gather_one()
+            out.extend(fin.submit_group(group))
             group, pending = [], 0
 
-    for read_name, blocks in per_read_blocks:
-        # a single centromere-scale "read" is split too: adjacent same-name
-        # groups concatenate to identical output bytes, and the classifier
-        # is row-wise, so block-level splitting is observationally safe
-        for s in range(0, max(len(blocks), 1), max_blocks):
-            chunk = blocks[s : s + max_blocks]
-            group.append((read_name, chunk))
-            pending += len(chunk) * stride
-            if pending >= flush_pairs:
-                flush()
-    flush()
-    while inflight:
-        gather_one()
-    if pool is not None:
-        pool.shutdown(wait=True)
+    try:
+        for read_name, blocks in per_read_blocks:
+            # a single centromere-scale "read" is split too: adjacent
+            # same-name groups concatenate to identical output bytes, and
+            # the classifier is row-wise, so block-level splitting is
+            # observationally safe
+            for s in range(0, max(len(blocks), 1), max_blocks):
+                chunk = blocks[s : s + max_blocks]
+                group.append((read_name, chunk))
+                pending += len(chunk) * stride
+                if pending >= flush_pairs:
+                    flush()
+        flush()
+        out.extend(fin.drain())
+    finally:
+        fin.close()
     # re-merge split reads so callers see one group per input read
     merged: list[tuple[str, list[FinishedBlock]]] = []
     gi = 0
@@ -281,9 +263,6 @@ class _CodesCache:
         if c is None:
             c = self.codes[name] = encode(self.reads[name])
         return c
-
-    def drop(self, name: str) -> None:
-        self.codes.pop(name, None)
 
 
 def _homo_codes(c: np.ndarray) -> np.ndarray:
@@ -344,8 +323,12 @@ def _dispatch_pairs(pairs_q, pairs_t, kernel, chunk=4096):
     while pos < P:
         qs = pairs_q[pos : pos + chunk]
         ts = pairs_t[pos : pos + chunk]
-        q, ql = _pad_codes(qs)
-        t, tl = _pad_codes(ts)
+        # round the batch dim at 1024 granularity (mirrors the tail
+        # right-sizing in _dispatch_blocks_x_monomers): per-read dispatch
+        # would otherwise compile one kernel per distinct block count
+        n_pad = min(chunk, max(8, -(-len(qs) // 1024) * 1024))
+        q, ql = _pad_codes(qs, rows=n_pad)
+        t, tl = _pad_codes(ts, rows=n_pad)
         _, mt, ln = kernel(q.astype(np.int8), ql, t.astype(np.int8), tl)
         pending.append((pos, len(qs), mt, ln))
         pos += len(qs)
@@ -560,19 +543,21 @@ class AsyncFinisher:
             self.name_to_idx, self.second_best, self.kernel,
         )
 
-    def submit(self, read_name: str, blocks: list[dict]):
-        """Queue one chunk's scoring; returns any groups that became ready
+    def submit_group(self, group: list[tuple[str, list[dict]]]):
+        """Queue one group's scoring; returns any groups that became ready
         (in submission order) once the in-flight bound is exceeded. With a
         thread pool, the encode+dispatch runs off the caller's thread — the
         producer keeps feeding DP batches while -t workers prep finishing
         groups (the reference's OpenMP gather, src/main.cpp:84-121)."""
-        group = [(read_name, blocks)]
         self._q.append(self.pool.submit(self._dispatch, group) if self.pool
                        else self._dispatch(group))
         out = []
         while len(self._q) > self.max_inflight:
             out.extend(self._gather_one())
         return out
+
+    def submit(self, read_name: str, blocks: list[dict]):
+        return self.submit_group([(read_name, blocks)])
 
     def _gather_one(self):
         pg = self._q.popleft()
@@ -582,13 +567,25 @@ class AsyncFinisher:
                                     self.coef)
 
     def drain(self):
-        """Gather every remaining group, in order."""
+        """Gather every remaining group, in order; retires the pool."""
         out = []
         while self._q:
             out.extend(self._gather_one())
         if self.pool is not None:
             self.pool.shutdown(wait=True)
+            self.pool = None
         return out
+
+    def close(self):
+        """Error-path teardown: abandon queued groups and stop the pool.
+        Idempotent; a clean drain() already retired everything. Without
+        this, an exception between submit and drain leaks a live thread
+        pool per request under --serve (and its queued dispatch closures
+        pin the encoded reads)."""
+        self._q.clear()
+        if self.pool is not None:
+            self.pool.shutdown(wait=True, cancel_futures=True)
+            self.pool = None
 
 
 def write_final_tsv(

@@ -59,6 +59,14 @@ from .chain_dp import block_walk
 
 POS_TILE = 128  # read positions per grid step (lane-aligned on hardware)
 
+# default chain group-max formulation (see _dp_kernel.group_max). Resolved
+# from $SDTPU_GROUP_MODE ONCE at import: a trace-time read would be frozen
+# into the jit cache under the static key group_mode=None, silently ignoring
+# later env changes — per-process A/B only, set before python starts.
+import os as _os  # noqa: E402
+
+_DEFAULT_GROUP_MODE = _os.environ.get("SDTPU_GROUP_MODE", "concat")
+
 
 def _neg(dtype) -> int:
     # far below any reachable score, far above the dtype's wrap-around
@@ -370,9 +378,7 @@ def chain_dp_forward_pallas(
 ):
     """Drop-in replacement for ops/chain_dp.chain_dp_forward."""
     if group_mode is None:
-        import os
-
-        group_mode = os.environ.get("SDTPU_GROUP_MODE", "concat")
+        group_mode = _DEFAULT_GROUP_MODE
     B, W = windows.shape
     # mono may be shared [M, L] or per-window [B, M, L] (ed_thr filter)
     per_window = mono.ndim == 3

@@ -300,11 +300,6 @@ def run_multihost(
     from ..pipeline import PipelineConfig, decompose_reads
     from .mesh import initialize_distributed
 
-    identity_kernel = None
-    if data_parallel:
-        from .sharding import make_sharded_identity
-
-        identity_kernel = make_sharded_identity()
     if coordinator is not None:
         initialize_distributed(coordinator, num_processes, process_id)
         topology = detect_topology()
@@ -318,6 +313,13 @@ def run_multihost(
             )
             topology = HostTopology(num_processes, process_id or 0)
     topo = topology or HostTopology()
+    identity_kernel = None
+    if data_parallel:
+        # AFTER jax.distributed bring-up: get_mesh()/jax.devices() inside
+        # initializes the backend, which must not precede initialize()
+        from .sharding import make_sharded_identity
+
+        identity_kernel = make_sharded_identity()
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
 
     monomers_fwd = load_fasta(monomers_path)

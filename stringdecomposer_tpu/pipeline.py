@@ -468,14 +468,23 @@ def run(
     )
     from .finishing import write_final_rows
 
-    with open(raw_path + ".tmp", "w") as fraw, open(final_path, "w") as fout, \
-            open(alt_path, "w") as falt:
-        n_blocks = _pump_reads(
-            reads, monomers_dp, cfg, forward_fn, finisher, fraw, fout, falt,
-            dp_names, min_identity,
-        )
-        write_final_rows(fout, falt, finisher.drain(), identity_th=min_identity)
+    # all three outputs build under .tmp and publish by rename: a run killed
+    # mid-stream must never leave a truncated file under the REAL name next
+    # to (or instead of) a previous good one
+    try:
+        with open(raw_path + ".tmp", "w") as fraw, \
+                open(final_path + ".tmp", "w") as fout, \
+                open(alt_path + ".tmp", "w") as falt:
+            n_blocks = _pump_reads(
+                reads, monomers_dp, cfg, forward_fn, finisher, fraw, fout, falt,
+                dp_names, min_identity,
+            )
+            write_final_rows(fout, falt, finisher.drain(), identity_th=min_identity)
+    finally:
+        finisher.close()
     os.replace(raw_path + ".tmp", raw_path)
+    os.replace(final_path + ".tmp", final_path)
+    os.replace(alt_path + ".tmp", alt_path)
     with open(stamp_path, "w") as f:
         f.write(fp + "\n")
     dt = time.perf_counter() - t0
@@ -534,8 +543,10 @@ def _run_streaming(
     t0 = time.perf_counter()
     n_blocks = 0
     n_reads = 0
-    with open(raw_path, "w") as fraw, open(final_path, "w") as fout, \
-            open(alt_path, "w") as falt:
+    # build under .tmp, publish by rename (same crash-safety rule as run())
+    with open(raw_path + ".tmp", "w") as fraw, \
+            open(final_path + ".tmp", "w") as fout, \
+            open(alt_path + ".tmp", "w") as falt:
         group: list[Record] = []
 
         def flush_group():
@@ -570,6 +581,9 @@ def _run_streaming(
             if len(group) >= stream_reads:
                 flush_group()
         flush_group()
+    os.replace(raw_path + ".tmp", raw_path)
+    os.replace(final_path + ".tmp", final_path)
+    os.replace(alt_path + ".tmp", alt_path)
     logger.info(
         "Streaming run finished: %d reads, %d assignments in %.2fs",
         n_reads, n_blocks, time.perf_counter() - t0,
