@@ -152,3 +152,49 @@ def test_gzip_fasta_input(tmp_path):
                    "-v", "4", "--device-batch", "2"])
     assert rc == 0
     assert open(tmp_path / "final_decomposition.tsv").read().splitlines()
+
+
+def test_crash_midrun_preserves_previous_outputs(tiny_case, monkeypatch):
+    """All three TSVs build under .tmp and publish by os.replace: a run that
+    dies mid-finishing must leave a previous good final TSV untouched and no
+    truncated file under any real name (pipeline.py run(): try/finally +
+    rename block)."""
+    import stringdecomposer_tpu.finishing as fin
+    from stringdecomposer_tpu.pipeline import run
+
+    seqs, mono, out = tiny_case
+    # a previous good run's outputs
+    run(seqs, mono, out_dir=out, device_batch=2, batch_size=16, overlap=4)
+    before = {
+        n: open(os.path.join(out, n)).read()
+        for n in ("final_decomposition.tsv", "final_decomposition_raw.tsv",
+                  "final_decomposition_alt.tsv")
+    }
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mid-finishing crash")
+
+    monkeypatch.setattr(fin, "write_final_rows", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run(seqs, mono, out_dir=out, device_batch=2, batch_size=16, overlap=4)
+    for name, text in before.items():
+        assert open(os.path.join(out, name)).read() == text, name
+    # the stamp was invalidated first: a --resume must recompute, not trust
+    # the old raw TSV against the crashed run
+    assert not os.path.exists(os.path.join(out, "final_decomposition_raw.tsv.stamp"))
+
+
+def test_success_leaves_no_tmp_files(tiny_case):
+    """Clean runs must publish every output and remove the .tmp builds
+    (both the buffered and the streaming path)."""
+    from stringdecomposer_tpu.pipeline import run
+
+    seqs, mono, out = tiny_case
+    run(seqs, mono, out_dir=out, device_batch=2, batch_size=16, overlap=4)
+    assert not [p for p in os.listdir(out) if p.endswith(".tmp")]
+    out2 = os.path.join(out, "streamed")
+    run(seqs, mono, out_dir=out2, device_batch=2, batch_size=16, overlap=4,
+        stream_reads=1)
+    assert not [p for p in os.listdir(out2) if p.endswith(".tmp")]
+    assert filecmp.cmp(os.path.join(out, "final_decomposition.tsv"),
+                       os.path.join(out2, "final_decomposition.tsv"), shallow=False)
