@@ -300,6 +300,48 @@ def dp_banded_lastrow_batch(
     return jnp.minimum(cap, BIG)
 
 
+def _banded_final_column(q, ql, t, tl, k, use_mask=False, eq_flat=None):
+    """Route one banded final-column sweep: the fused Pallas kernel
+    (ops/banded_pallas.py) when enabled and supported for this call, else
+    the lax.scan reference above. Identical contract either way; routing is
+    env-gated (SDTPU_BANDED_BACKEND=scan|pallas|auto, read at import)."""
+    from . import banded_pallas as bp
+
+    mode = bp.DEFAULT_BACKEND
+    use_pallas = (
+        mode == "pallas" or (mode == "auto" and jax.default_backend() != "cpu")
+    ) and bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k), eq_flat)
+    if use_pallas:
+        return bp.banded_final_column_pallas(q, ql, t, tl, k=int(k),
+                                             use_mask=use_mask)
+    return dp_banded_lastrow_batch(q, ql, t, tl, k=int(k), use_mask=use_mask,
+                                   eq_flat=eq_flat)
+
+
+def _banded_nw_dist(q, ql, t, tl, k, use_mask=False, eq_flat=None):
+    """Banded NW distance via the routed final-column sweep (the single
+    distance is lane q_len - t_len + k of the final target column); falls
+    back to dp_banded_nw_batch's scan when the router picks scan. Same
+    caller contract: pairs with |q_len - t_len| > k are pre-filtered."""
+    from . import banded_pallas as bp
+
+    mode = bp.DEFAULT_BACKEND
+    use_pallas = (
+        mode == "pallas" or (mode == "auto" and jax.default_backend() != "cpu")
+    ) and bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k), eq_flat)
+    if not use_pallas:
+        return np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=int(k),
+                                             use_mask=use_mask,
+                                             eq_flat=eq_flat))
+    cap = np.asarray(bp.banded_final_column_pallas(q, ql, t, tl, k=int(k),
+                                                   use_mask=use_mask))
+    ql_np = np.asarray(ql, dtype=np.int64)
+    tl_np = np.asarray(tl, dtype=np.int64)
+    lanes = np.clip(ql_np - tl_np + int(k), 0, 2 * int(k))
+    dist = cap[np.arange(cap.shape[0]), lanes]
+    return np.where(tl_np == 0, ql_np, dist)
+
+
 @partial(jax.jit, static_argnames=("k", "use_mask"))
 def dp_banded_shw_rows(
     q: jnp.ndarray,  # [P, Lq]
@@ -660,9 +702,9 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                 return int(row[lt])
             qb, qlb = _pad_pow2([as_q(sq)])
             tb, tlb = _pad_pow2([as_t(st)])
-            d = int(np.asarray(dp_banded_nw_batch(
+            d = int(_banded_nw_dist(
                 qb, qlb, tb, tlb, k=int(kd), use_mask=use_mask,
-                eq_flat=eq_flat))[0])
+                eq_flat=eq_flat)[0])
             if d <= kd:
                 return d
             kd *= 2
@@ -743,7 +785,7 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                 bt.append(st[jm:][::-1].copy())
             q_all, ql_all = _pad_pow2([as_q(x) for x in fq + bq])
             t_all, tl_all = _pad_pow2([as_t(x) for x in ft + bt])
-            caps = np.asarray(dp_banded_lastrow_batch(
+            caps = np.asarray(_banded_final_column(
                 q_all, ql_all, t_all, tl_all, k=int(kb),
                 use_mask=use_mask, eq_flat=eq_flat))
         else:
@@ -875,9 +917,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
     # instead of O(Lq*Lt) (src/edlib.cpp:559-571); exact wherever the true
     # distance is <= k, which is all the k-threshold contract observes
     if mode == "NW" and 0 <= k and 2 * (2 * k + 1) < q.shape[1]:
-        band = np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=int(k),
-                                             use_mask=use_mask,
-                                             eq_flat=eq_flat))
+        band = _banded_nw_dist(q, ql, t, tl, k=int(k), use_mask=use_mask,
+                               eq_flat=eq_flat)
         for p in range(n):
             if abs(int(ql[p]) - int(tl[p])) > k:
                 dists[p] = k + 1  # corner outside the band: provably > k

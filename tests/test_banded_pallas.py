@@ -1,0 +1,97 @@
+"""Parity of the fused Pallas banded sweep (ops/banded_pallas.py) against
+the lax.scan banded primitives in ops/align.py (themselves fixture-verified
+against the reference edlib). CPU runs the kernel interpreted; the same
+program compiles with Mosaic on hardware (make test_tpu)."""
+
+import numpy as np
+import pytest
+
+from stringdecomposer_tpu.ops import banded_pallas as bp
+from stringdecomposer_tpu.ops.align import (
+    dp_banded_lastrow_batch,
+    dp_banded_nw_batch,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_final_column_parity_random(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        P = int(rng.integers(1, 6))
+        Lq = int(rng.integers(1, 200))
+        Lt = int(rng.integers(1, 300))
+        k = int(rng.choice([1, 3, 8, 16, 64]))
+        q = rng.integers(0, 4, (P, Lq)).astype(np.int8)
+        t = rng.integers(0, 4, (P, Lt)).astype(np.int8)
+        ql = rng.integers(0, Lq + 1, P).astype(np.int32)
+        tl = rng.integers(0, Lt + 1, P).astype(np.int32)
+        want = np.asarray(dp_banded_lastrow_batch(q, ql, t, tl, k=k))
+        got = np.asarray(bp.banded_final_column_pallas(q, ql, t, tl, k=k))
+        assert (want == got).all(), (P, Lq, Lt, k)
+
+
+def test_final_column_parity_mask_mode():
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        P, Lq, Lt = (int(rng.integers(1, 5)), int(rng.integers(1, 150)),
+                     int(rng.integers(1, 150)))
+        k = int(rng.choice([2, 8, 33]))
+        A = 7  # small compact alphabet with ambiguity: 2 bits set per row
+        qm = ((1 << rng.integers(0, A, (P, Lq)))
+              | (1 << rng.integers(0, A, (P, Lq)))).astype(np.int32)
+        ti = rng.integers(0, A, (P, Lt)).astype(np.int32)
+        ql = rng.integers(0, Lq + 1, P).astype(np.int32)
+        tl = rng.integers(0, Lt + 1, P).astype(np.int32)
+        want = np.asarray(dp_banded_lastrow_batch(qm, ql, ti, tl, k=k,
+                                                  use_mask=True))
+        got = np.asarray(bp.banded_final_column_pallas(qm, ql, ti, tl, k=k,
+                                                       use_mask=True))
+        assert (want == got).all()
+
+
+def test_nw_dist_wrapper_matches_scan(monkeypatch):
+    """_banded_nw_dist lane extraction == dp_banded_nw_batch when forced to
+    the Pallas route (callers pre-filter |ql - tl| > k, mirrored here)."""
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(4)
+    P, Lq, Lt, k = 5, 120, 130, 16
+    q = rng.integers(0, 4, (P, Lq)).astype(np.int8)
+    t = rng.integers(0, 4, (P, Lt)).astype(np.int8)
+    ql = rng.integers(20, Lq + 1, P).astype(np.int32)
+    tl = np.clip(ql + rng.integers(-k, k + 1, P), 0, Lt).astype(np.int32)
+    want = np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=k))
+    monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+    got = align._banded_nw_dist(q, ql, t, tl, k=k)
+    assert (want == got).all()
+
+
+def test_align_path_byte_identical_on_pallas_route(monkeypatch):
+    """align(task=path) through the forced Pallas banded route returns the
+    exact same CIGAR as the scan route (the sweeps are value-identical, so
+    every Hirschberg split lands identically)."""
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    qs = rng.integers(0, 4, n)
+    ts = qs.copy()
+    for i in sorted(rng.choice(n, 60, replace=False).tolist(), reverse=True):
+        ts[i] = (ts[i] + 1 + rng.integers(3)) % 4
+    alpha = np.array(list("ACGT"))
+    q = "".join(alpha[qs])
+    t = "".join(alpha[ts])
+    # force Hirschberg + banding: tiny cell limit so the recursion engages
+    monkeypatch.setattr(align, "MOVES_CELL_LIMIT", 1 << 12)
+    r_scan = align.align(q, t, mode="NW", task="path")
+    monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+    r_pal = align.align(q, t, mode="NW", task="path")
+    assert r_scan["editDistance"] == r_pal["editDistance"]
+    assert r_scan["cigar"] == r_pal["cigar"]
+
+
+def test_supported_gates():
+    assert not bp.supported(4, 100, 0, 8, None)  # Lt == 0
+    assert not bp.supported(4, 100, 100, 8, np.zeros(4))  # lut mode
+    assert bp.supported(4, 1000, 1000, 64, None)
+    assert not bp.supported(4096, 100000, 100000, 60000, None)  # VMEM
