@@ -301,40 +301,73 @@ def dp_banded_lastrow_batch(
 
 
 def _banded_final_column(q, ql, t, tl, k, use_mask=False, eq_flat=None):
-    """Route one banded final-column sweep: the fused Pallas kernel
-    (ops/banded_pallas.py) when enabled and supported for this call, else
-    the lax.scan reference above. Identical contract either way; routing is
-    env-gated (SDTPU_BANDED_BACKEND=scan|pallas|auto, read at import)."""
+    """Route one banded final-column sweep: the bit-parallel Myers kernel
+    for wide bands, the fused int32 Pallas kernel otherwise, or the
+    lax.scan reference (default until hardware-measured). All routes are
+    exact wherever the value is <= k — the only values any caller observes
+    (Ukkonen); the Pallas routes may differ from the scan on > k garbage
+    lanes. Routing is env-gated (SDTPU_BANDED_BACKEND=scan|pallas|auto,
+    read at import)."""
     from . import banded_pallas as bp
 
     mode = bp.DEFAULT_BACKEND
-    use_pallas = (
-        mode == "pallas" or (mode == "auto" and jax.default_backend() != "cpu")
-    ) and bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k), eq_flat)
-    if use_pallas:
+    enabled = mode == "pallas" or (
+        mode == "auto" and jax.default_backend() != "cpu"
+    )
+    if enabled and bp.myers_supported(t.shape[1], int(k), eq_flat, use_mask):
+        remap = _myers_compact_alphabet(q, ql, t, tl)
+        if remap is not None:
+            q2, t2 = remap
+            return bp.banded_final_column_myers(q2, ql, t2, tl, k=int(k))
+    if enabled and bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k),
+                                eq_flat):
         return bp.banded_final_column_pallas(q, ql, t, tl, k=int(k),
                                              use_mask=use_mask)
     return dp_banded_lastrow_batch(q, ql, t, tl, k=int(k), use_mask=use_mask,
                                    eq_flat=eq_flat)
 
 
+def _myers_compact_alphabet(q, ql, t, tl):
+    """Remap raw byte codes to the <=4-symbol compact alphabet the Myers
+    kernel's Peq planes cover, or None if the inputs need more. Only
+    symbols present in BOTH valid regions can produce a match, so q-only /
+    t-only symbols map to distinct never-equal sentinels."""
+    qn = np.asarray(q).astype(np.uint8)  # plain-code route: byte alphabet
+    tn = np.asarray(t).astype(np.uint8)
+    qmask = np.arange(qn.shape[1])[None, :] < np.asarray(ql)[:, None]
+    tmask = np.arange(tn.shape[1])[None, :] < np.asarray(tl)[:, None]
+    syms = np.intersect1d(np.unique(qn[qmask]), np.unique(tn[tmask]))
+    if len(syms) > 4:
+        return None
+    lut_q = np.full(256, -9, np.int32)
+    lut_t = np.full(256, -1, np.int32)
+    lut_q[syms] = np.arange(len(syms))
+    lut_t[syms] = np.arange(len(syms))
+    return lut_q[qn], lut_t[tn]
+
+
 def _banded_nw_dist(q, ql, t, tl, k, use_mask=False, eq_flat=None):
     """Banded NW distance via the routed final-column sweep (the single
-    distance is lane q_len - t_len + k of the final target column); falls
-    back to dp_banded_nw_batch's scan when the router picks scan. Same
-    caller contract: pairs with |q_len - t_len| > k are pre-filtered."""
+    distance is lane q_len - t_len + k of the final target column); on the
+    scan route this is dp_banded_nw_batch verbatim. Same caller contract:
+    pairs with |q_len - t_len| > k are pre-filtered, and only results <= k
+    are trusted (exact on every route)."""
     from . import banded_pallas as bp
 
     mode = bp.DEFAULT_BACKEND
-    use_pallas = (
-        mode == "pallas" or (mode == "auto" and jax.default_backend() != "cpu")
-    ) and bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k), eq_flat)
-    if not use_pallas:
+    enabled = mode == "pallas" or (
+        mode == "auto" and jax.default_backend() != "cpu"
+    )
+    if not (enabled and (
+        bp.myers_supported(t.shape[1], int(k), eq_flat, use_mask)
+        or bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k), eq_flat)
+    )):
         return np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=int(k),
                                              use_mask=use_mask,
                                              eq_flat=eq_flat))
-    cap = np.asarray(bp.banded_final_column_pallas(q, ql, t, tl, k=int(k),
-                                                   use_mask=use_mask))
+    cap = np.asarray(_banded_final_column(q, ql, t, tl, k=int(k),
+                                          use_mask=use_mask,
+                                          eq_flat=eq_flat))
     ql_np = np.asarray(ql, dtype=np.int64)
     tl_np = np.asarray(tl, dtype=np.int64)
     lanes = np.clip(ql_np - tl_np + int(k), 0, 2 * int(k))

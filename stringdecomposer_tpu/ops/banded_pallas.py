@@ -206,6 +206,298 @@ def banded_final_column_pallas(
     return jnp.minimum(cap[:P, :Bw], BIG)
 
 
+# ---------------------------------------------------------------------------
+# Bit-parallel banded Myers (the reference edlib's core algorithm family,
+# src/edlib.cpp:547-728, re-derived for a diagonally sliding band and packed
+# into int32 word lanes). Each lane holds 32 band rows as bits; a column
+# update is ~20 bitwise vector ops; the one inter-word dependency — the
+# carry of Myers' addition trick — is a Kogge-Stone (generate, propagate)
+# prefix over word lanes, log2(words) masked rolls. The NW boundary row
+# (band attached to the origin, columns j <= k) is handled in-band: lanes
+# below the moving boundary lane b0 = k - j carry a virtual -1 ramp from a
+# constant anchor, the carry chain is cut at b0, and the boundary row's
+# horizontal delta is forced to +1. Validated in three stages (the NumPy
+# oracles live in tests/test_banded_pallas.py): per-cell relations vs the
+# banded scan, packed words vs the oracle, kernel vs packed.
+#
+# Contract (weaker than bit-equality with the scan, sufficient for every
+# caller): values are EXACT wherever the banded scan's value is <= k, and
+# >= it elsewhere (virtual-boundary garbage may differ from BIG-boundary
+# garbage; both exceed k, which is all the Ukkonen contract observes).
+# ---------------------------------------------------------------------------
+
+def _lowmask(word_iota, b0):
+    """Per-word int32 mask of bits 0..b0 (global bit index), empty if b0<0."""
+    n = jnp.clip(b0 + 1 - 32 * word_iota, 0, 32)
+    return jnp.where(n >= 32, -1, (1 << jnp.minimum(n, 31)) - 1)
+
+
+def _myers_kernel(
+    t_ref,  # [Pp, CT] target chars for this column tile
+    qin_ref,  # [Pp, CT] q chars entering the band top, same tiling
+    peq_ref,  # [Pp, 4*Wp] initial Peq planes (column j=1), c-major
+    qlen_ref,  # [Pp, 1]
+    tlen_ref,  # [Pp, 1]
+    capvp_out,  # [Pp, Wp] captured VP plane at j == t_len
+    capvn_out,  # [Pp, Wp]
+    capa_out,  # [Pp, 1] captured anchor
+    vp_s, vn_s, a_s, peq_s, cvp_s, cvn_s, ca_s,  # scratch
+    *,
+    Bw: int,
+    Wp: int,
+    k: int,
+    Pp: int,
+    col_tile: int,
+):
+    g = pl.program_id(0)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (Pp, Wp), 1)
+    lanemask = _lowmask(widx, Bw - 1)
+    topw = (Bw - 1) // 32
+    topbit = 1 << ((Bw - 1) % 32)
+    tlen = tlen_ref[...]
+
+    @pl.when(g == 0)
+    def _():
+        # column j=0: anchor k, -1 ramp below row 0 (lanes 1..k), +1 above
+        km = _lowmask(widx, k)
+        vp0 = (~km) & lanemask
+        vn0 = (km & ~_lowmask(widx, 0)) & lanemask
+        vp_s[...] = vp0
+        vn_s[...] = vn0
+        a_s[...] = jnp.full((Pp, 1), k, jnp.int32)
+        peq_s[...] = peq_ref[...]
+        cvp_s[...] = jnp.where(tlen == 0, vp0, 0)
+        cvn_s[...] = jnp.where(tlen == 0, vn0, 0)
+        ca_s[...] = jnp.full((Pp, 1), k, jnp.int32)
+
+    def shift_up(v, s):  # word w <- word w-s (zero fill): carries move up
+        return jnp.where(widx >= s, pltpu.roll(v, s, 1), 0)
+
+    def vshift_down1(v):  # bit b <- bit b+1 across the whole vector
+        nxt = jnp.where(widx < Wp - 1, pltpu.roll(v, Wp - 1, 1), 0)
+        return ((v >> 1) & 0x7FFFFFFF) | ((nxt & 1) << 31)
+
+    def vshift_up1(v, bit0):  # bit b <- bit b-1; global bit 0 <- bit0
+        prev = shift_up(v, 1)
+        out = (v << 1) | ((prev >> 31) & 1)
+        return jnp.where(widx == 0, out | bit0, out)
+
+    def add_carry(a, b):
+        s = a + b
+        gbit = ((a & b) | ((a | b) & ~s)) >> 31 & 1
+        pbit = (s == -1).astype(jnp.int32)
+        gk, pk = gbit, pbit
+        step = 1
+        while step < Wp:
+            gk = gk | (pk & shift_up(gk, step))
+            pk = pk & shift_up(pk, step)
+            step *= 2
+        return s + shift_up(gk, 1)
+
+    def vdelta_bit1(vp, vn):  # delta encoded at global bit 1 -> {-1,0,1}
+        return ((vp[:, :1] >> 1) & 1) - ((vn[:, :1] >> 1) & 1)
+
+    def one(j, tc, inc, vp, vn, a, peq, cvp, cvn, ca):
+        b0 = k - j
+        has_b = b0 >= 0
+        bnd = jnp.where(
+            has_b, jnp.where(widx == b0 // 32, 1 << (b0 % 32), 0), 0
+        )
+        low = jnp.where(has_b, _lowmask(widx, b0), 0)
+        # Eq plane select by target char (non-ACGT -> never matches)
+        p0 = peq[:, :Wp]
+        p1 = peq[:, Wp : 2 * Wp]
+        p2 = peq[:, 2 * Wp : 3 * Wp]
+        p3 = peq[:, 3 * Wp :]
+        eq = jnp.where(
+            tc == 0, p0, jnp.where(tc == 1, p1, jnp.where(tc == 2, p2,
+                                                          jnp.where(tc == 3, p3, 0)))
+        )
+        vps = vshift_down1(vp)
+        vps = jnp.where(widx == topw, vps | topbit, vps)
+        vns = vshift_down1(vn)
+        vps_c = vps & ~low  # cut the carry chain at/below the boundary
+        x = (eq | vns) & ~low
+        d0 = (add_carry(x & vps_c, vps_c) ^ vps_c) | x
+        hp = (vns | ~(d0 | vps_c)) | bnd  # boundary row: h-delta forced +1
+        hn = (d0 & vps_c) & ~bnd
+        hpsh = vshift_up1(hp, 1)  # out-of-band cell above lane 0: +1
+        hnsh = vshift_up1(hn, 0)
+        nvp = (hnsh | ~(d0 | hpsh)) & lanemask
+        nvn = (d0 & hpsh) & lanemask
+        # virtual lanes strictly below the boundary keep the -1 ramp; the
+        # boundary lane's own vertical delta is -1 (row 0 value j vs the
+        # virtual ramp below)
+        lowx = low & ~bnd
+        nob0 = jnp.where(b0 >= 1, bnd, 0)
+        nvp = (nvp & ~lowx) & ~nob0
+        nvn = ((nvn & ~lowx) | (lowx & ~jnp.where(widx == 0, 1, 0)) | nob0) & lanemask
+        # anchor: constant k while lane 0 is virtual (j <= k), tracked after
+        p1v = a + vdelta_bit1(vp, vn)
+        anew = p1v + (hp[:, :1] & 1) - (hn[:, :1] & 1)
+        a = jnp.where(j > k, anew, a)
+        # capture at j == t_len
+        capm = j == tlen
+        cvp = jnp.where(capm, nvp, cvp)
+        cvn = jnp.where(capm, nvn, cvn)
+        ca = jnp.where(capm, a, ca)
+        # slide Peq planes one row down; inject the incoming top row's bits
+        def adv(p, c):
+            p = vshift_down1(p)
+            injc = ((inc == c).astype(jnp.int32)) * topbit
+            return jnp.where(widx == topw, p | injc, p)
+
+        peq = jnp.concatenate(
+            [adv(p0, 0), adv(p1, 1), adv(p2, 2), adv(p3, 3)], axis=1
+        )
+        return nvp, nvn, a, peq, cvp, cvn, ca
+
+    UNROLL = 4 if col_tile % 4 == 0 else 1
+
+    def body(s, carry):
+        vp, vn, a, peq, cvp, cvn, ca, t_r, q_r = carry
+        j0 = g * col_tile + s * UNROLL + 1
+        for u in range(UNROLL):
+            vp, vn, a, peq, cvp, cvn, ca = one(
+                j0 + u, t_r[:, u : u + 1], q_r[:, u : u + 1],
+                vp, vn, a, peq, cvp, cvn, ca,
+            )
+        return (
+            vp, vn, a, peq, cvp, cvn, ca,
+            pltpu.roll(t_r, col_tile - UNROLL, 1),
+            pltpu.roll(q_r, col_tile - UNROLL, 1),
+        )
+
+    vp, vn, a, peq, cvp, cvn, ca, _, _ = jax.lax.fori_loop(
+        0, col_tile // UNROLL, body,
+        (vp_s[...], vn_s[...], a_s[...], peq_s[...],
+         cvp_s[...], cvn_s[...], ca_s[...], t_ref[...], qin_ref[...]),
+    )
+    vp_s[...] = vp
+    vn_s[...] = vn
+    a_s[...] = a
+    peq_s[...] = peq
+    cvp_s[...] = cvp
+    cvn_s[...] = cvn
+    ca_s[...] = ca
+    capvp_out[...] = cvp
+    capvn_out[...] = cvn
+    capa_out[...] = ca
+
+
+def _pack_bits(bits: jnp.ndarray, Wp: int) -> jnp.ndarray:
+    """[P, n] {0,1} -> [P, Wp] int32 words, bit b -> word b//32 bit b%32."""
+    P, n = bits.shape
+    pad = Wp * 32 - n
+    b = jnp.pad(bits.astype(jnp.int32), ((0, 0), (0, pad)))
+    b = b.reshape(P, Wp, 32)
+    sh = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    return jnp.sum(b << sh, axis=2).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def banded_final_column_myers(
+    q: jnp.ndarray,  # [P, Lq] plain codes (no equalities modes)
+    q_lens: jnp.ndarray,  # [P]
+    t: jnp.ndarray,  # [P, Lt]
+    t_lens: jnp.ndarray,  # [P]
+    k: int,
+) -> jnp.ndarray:
+    """Bit-parallel drop-in for the banded final-column sweep. Contract:
+    exact wherever the scan's value is <= k, >= it elsewhere (see module
+    note); every caller only observes values <= k."""
+    P, Lq = q.shape
+    _, Lt = t.shape
+    Bw = 2 * k + 1
+    Wp = max(128, -(-(-(-Bw // 32)) // 128) * 128)
+    Pp = max(8, -(-P // 8) * 8)
+    n_tiles = max(1, -(-Lt // COL_TILE))
+    Ltp = n_tiles * COL_TILE
+
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
+    row_i = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    qm = jnp.where(row_i < q_lens[:, None], q, -9)  # rows past q_len: junk
+    qmp = jnp.pad(qm, ((0, Pp - P), (k + 1, Bw + Ltp)), constant_values=-9)
+    # Peq planes for column 1: band lane b = row 1 + b - k -> qmp index b+1
+    init_rows = qmp[:, 1 : 1 + Bw]
+    peq0 = jnp.concatenate(
+        [_pack_bits(init_rows == c, Wp) for c in range(4)], axis=1
+    )
+    # incoming top-row char for column j+1: qmp index j + k + 1... stream
+    # starts at j=1 -> index k + 2? the kernel consumes inc at column j to
+    # build column j+1's planes: inc(j) = row (j+1) + (Bw-1) - k = q index
+    # j + k -> qmp index j + k + (k+1) = j + 2k + 1 = j + Bw
+    qin = qmp[:, 1 + Bw : 1 + Bw + Ltp]
+    tp = jnp.pad(t, ((0, Pp - P), (0, Ltp - Lt)), constant_values=-1)
+    qlp = jnp.pad(q_lens.astype(jnp.int32), (0, Pp - P))[:, None]
+    tlp = jnp.pad(t_lens.astype(jnp.int32), (0, Pp - P),
+                  constant_values=-1)[:, None]
+
+    kern = partial(_myers_kernel, Bw=Bw, Wp=Wp, k=k, Pp=Pp,
+                   col_tile=COL_TILE)
+    interpret = jax.default_backend() == "cpu"
+    cvp, cvn, ca = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Pp, COL_TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, COL_TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 4 * Wp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Pp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Pp, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((Pp, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((Pp, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Pp, Wp), jnp.int32),
+            pltpu.VMEM((Pp, Wp), jnp.int32),
+            pltpu.VMEM((Pp, 1), jnp.int32),
+            pltpu.VMEM((Pp, 4 * Wp), jnp.int32),
+            pltpu.VMEM((Pp, Wp), jnp.int32),
+            pltpu.VMEM((Pp, Wp), jnp.int32),
+            pltpu.VMEM((Pp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tp, qin, peq0, qlp, tlp)
+
+    # reconstruct the captured column: anchor + cumsum of vertical deltas
+    sh = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    vpb = ((cvp[:, :, None] >> sh) & 1).reshape(Pp, Wp * 32)[:, :Bw]
+    vnb = ((cvn[:, :, None] >> sh) & 1).reshape(Pp, Wp * 32)[:, :Bw]
+    d = vpb - vnb
+    vals = ca + jnp.cumsum(d, axis=1) - d[:, :1]
+    b_idx = jnp.arange(Bw, dtype=jnp.int32)[None, :]
+    i_cap = tlp + b_idx - k
+    vals = jnp.where((i_cap >= 0) & (i_cap <= qlp), vals, BIG)
+    return jnp.minimum(vals, BIG)[:P]
+
+
+# minimum k for the bit-parallel route: below this the int32 band kernel /
+# scan already move few bytes and the Myers op overhead is not amortized
+# (crossover to be tuned on hardware; tests patch this down to force the
+# route on small cases)
+MYERS_MIN_K = 256
+
+
+def myers_supported(Lt: int, k: int, eq_flat, use_mask: bool) -> bool:
+    """Bit-parallel route eligibility: plain-code alphabets only, k past
+    the crossover, and the word planes must fit VMEM (4 Peq + 2x state +
+    2x capture + out)."""
+    if use_mask or eq_flat is not None or Lt == 0 or k < MYERS_MIN_K:
+        return False
+    Wp = max(128, -(-(-(-(2 * k + 1) // 32)) // 128) * 128)
+    return 8 * 14 * Wp * 4 <= (8 << 20)
+
+
 def supported(P: int, Lq: int, Lt: int, k: int, eq_flat) -> bool:
     """True when the Pallas route can serve this call: no lut-mode gather,
     non-degenerate shapes, and the band tiles fit the VMEM budget."""

@@ -90,6 +90,79 @@ def test_align_path_byte_identical_on_pallas_route(monkeypatch):
     assert r_scan["cigar"] == r_pal["cigar"]
 
 
+@pytest.mark.parametrize("seed", [10, 11])
+def test_myers_contract_vs_scan(seed):
+    """Bit-parallel route: exact wherever the scan value is <= k (all any
+    caller observes), >= the scan elsewhere (virtual-boundary garbage may
+    differ from BIG-boundary garbage, both > k)."""
+    from stringdecomposer_tpu.ops.align import BIG
+
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        P = int(rng.integers(1, 5))
+        Lq = int(rng.integers(1, 220))
+        Lt = int(rng.integers(1, 300))
+        k = int(rng.choice([1, 2, 8, 31, 64, 100]))
+        q = rng.integers(0, 4, (P, Lq)).astype(np.int8)
+        t = rng.integers(0, 4, (P, Lt)).astype(np.int8)
+        ql = rng.integers(0, Lq + 1, P).astype(np.int32)
+        tl = rng.integers(0, Lt + 1, P).astype(np.int32)
+        want = np.asarray(dp_banded_lastrow_batch(q, ql, t, tl, k=k))
+        got = np.asarray(bp.banded_final_column_myers(q, ql, t, tl, k=k))
+        assert np.all((want == got) | (want > k)), (P, Lq, Lt, k)
+        assert np.all((got >= want) | (want >= BIG)), (P, Lq, Lt, k)
+
+
+def test_align_path_byte_identical_on_myers_route(monkeypatch):
+    """A divergent pair routed through the bit-parallel sweeps yields the
+    exact same CIGAR as the scan route: every Hirschberg split decision
+    reads only values <= the segment distance, where the routes agree."""
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    qs = rng.integers(0, 4, n)
+    ts = qs.copy()
+    for i in sorted(rng.choice(n, 120, replace=False).tolist(), reverse=True):
+        ts[i] = (ts[i] + 1 + rng.integers(3)) % 4
+    alpha = np.array(list("ACGT"))
+    q = "".join(alpha[qs])
+    t = "".join(alpha[ts])
+    monkeypatch.setattr(align, "MOVES_CELL_LIMIT", 1 << 12)
+    r_scan = align.align(q, t, mode="NW", task="path")
+    monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+    monkeypatch.setattr(bp, "MYERS_MIN_K", 8)  # force the route on small kb
+    r_my = align.align(q, t, mode="NW", task="path")
+    assert r_scan["editDistance"] == r_my["editDistance"]
+    assert r_scan["cigar"] == r_my["cigar"]
+
+
+def test_myers_trusted_distance_exact(monkeypatch):
+    """_banded_nw_dist on the Myers route: any result <= k equals the true
+    NW distance (the k-doubling loop's trust rule)."""
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(13)
+    monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+    monkeypatch.setattr(bp, "MYERS_MIN_K", 8)
+    for _ in range(6):
+        n = int(rng.integers(50, 400))
+        qs = rng.integers(0, 4, n)
+        ts = qs.copy()
+        nmut = int(rng.integers(0, n // 8))
+        for i in sorted(rng.choice(n, nmut, replace=False).tolist(),
+                        reverse=True):
+            ts[i] = (ts[i] + 1 + rng.integers(3)) % 4
+        alpha = np.array(list("ACGT"))
+        r = align.align("".join(alpha[qs]), "".join(alpha[ts]), mode="NW",
+                        task="distance")
+        monkeypatch.setattr(bp, "DEFAULT_BACKEND", "scan")
+        r_ref = align.align("".join(alpha[qs]), "".join(alpha[ts]),
+                            mode="NW", task="distance")
+        monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+        assert r["editDistance"] == r_ref["editDistance"]
+
+
 def test_supported_gates():
     assert not bp.supported(4, 100, 0, 8, None)  # Lt == 0
     assert not bp.supported(4, 100, 100, 8, np.zeros(4))  # lut mode
