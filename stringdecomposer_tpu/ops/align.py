@@ -327,6 +327,23 @@ def _banded_final_column(q, ql, t, tl, k, use_mask=False, eq_flat=None):
                                    eq_flat=eq_flat)
 
 
+# minimum padded length before exact NW distance (k=-1) switches from the
+# one full sweep to banded k-doubling (below this the full sweep is one
+# cheap fused call and doubling only adds dispatches)
+NW_DOUBLING_MIN_LEN = 4096
+
+
+def _rows_pow2(arr, lens, idx):
+    """Row-subset arr[idx] padded to a pow2 row count (length-0 filler rows)
+    so the doubling loop's shrinking subsets reuse cached jits."""
+    m = 1 << max(0, int(np.ceil(np.log2(max(1, len(idx))))))
+    out = np.zeros((m, arr.shape[1]), arr.dtype)
+    out[: len(idx)] = arr[idx]
+    lo = np.zeros(m, np.int32)
+    lo[: len(idx)] = lens[idx]
+    return out, lo
+
+
 def _myers_compact_alphabet(q, ql, t, tl):
     """Remap raw byte codes to the <=4-symbol compact alphabet the Myers
     kernel's Peq planes cover, or None if the inputs need more. Only
@@ -990,6 +1007,39 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             es = [-1] if d0 == dists[p] else []
             es += [int(j) for j in np.flatnonzero(row == dists[p])]
             ends.append(es)
+    elif mode == "NW" and k < 0 and q.shape[1] >= NW_DOUBLING_MIN_LEN:
+        # exact distance by banded k-doubling — the reference's own k=-1
+        # strategy (src/edlib.cpp:194-212): band kd, trust any result
+        # <= kd (Ukkonen), double the unresolved pairs; a pair whose band
+        # would cover most of its DP takes the one full sweep instead.
+        # Similar pairs (d << L) cost O(d * Lt) instead of O(Lq * Lt).
+        unresolved = np.arange(n)
+        kd = 128
+        while unresolved.size:
+            m_len = np.minimum(ql[unresolved], tl[unresolved])
+            go_full = unresolved[4 * kd + 2 >= m_len]
+            unresolved = unresolved[4 * kd + 2 < m_len]
+            for part in (go_full[s : s + 512] for s in
+                         range(0, len(go_full), 512)):
+                if not len(part):
+                    continue
+                qi, qli = _rows_pow2(q, ql, part)
+                ti, tli = _rows_pow2(t, tl, part)
+                rows = np.asarray(dp_lastrow_batch(
+                    qi, qli, ti, tli, use_mask=use_mask, eq_flat=eq_flat))
+                dists[part] = rows[np.arange(len(part)), tl[part]]
+            if unresolved.size:
+                qi, qli = _rows_pow2(q, ql, unresolved)
+                ti, tli = _rows_pow2(t, tl, unresolved)
+                d = _banded_nw_dist(qi, qli, ti, tli, k=int(kd),
+                                    use_mask=use_mask, eq_flat=eq_flat)
+                d = d[: len(unresolved)]
+                ok = (d <= kd) & (np.abs(ql[unresolved].astype(np.int64)
+                                         - tl[unresolved]) <= kd)
+                dists[unresolved[ok]] = d[ok]
+                unresolved = unresolved[~ok]
+            kd *= 2
+        ends = [[int(tl[p]) - 1] for p in range(n)]
     else:
         rows = np.asarray(dp_lastrow_batch(
             q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask,

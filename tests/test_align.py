@@ -486,3 +486,34 @@ def test_banded_hw_matches_full():
             assert got["startLocations"] == want["startLocations"]
         else:
             assert got["editDistance"] == -1 and got["endLocations"] == []
+
+
+def test_nw_distance_doubling_matches_full(monkeypatch):
+    """k=-1 NW distances via banded k-doubling (the reference's own
+    strategy, src/edlib.cpp:194-212) equal the one-shot full sweep, for
+    similar, dissimilar, and degenerate pairs in one batch."""
+    import numpy as np
+
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(30)
+    alpha = np.array(list("ACGT"))
+    qs, ts = [], []
+    for div in (0.0, 0.01, 0.2, 1.0):
+        n = int(rng.integers(600, 1400))
+        a = rng.integers(0, 4, n)
+        b = a.copy() if div < 1.0 else rng.integers(0, 4, n + 37)
+        nm = int(n * div) if div < 1.0 else 0
+        for i in sorted(rng.choice(n, nm, replace=False).tolist(),
+                        reverse=True):
+            b[i] = (b[i] + 1 + rng.integers(3)) % 4
+        qs.append("".join(alpha[a]))
+        ts.append("".join(alpha[b]))
+    qs.append("")  # degenerate rows ride along
+    ts.append("ACGT")
+    want = [r["editDistance"]
+            for r in align.align_batch(qs, ts, mode="NW", task="distance")]
+    monkeypatch.setattr(align, "NW_DOUBLING_MIN_LEN", 64)
+    got = [r["editDistance"]
+           for r in align.align_batch(qs, ts, mode="NW", task="distance")]
+    assert got == want
