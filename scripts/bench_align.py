@@ -57,32 +57,48 @@ def main():
     sys.path.insert(0, "/root/repo")
     from stringdecomposer_tpu.ops.align import align
 
+    from stringdecomposer_tpu.ops import banded_pallas as bp
+
+    backends = [b for b in ("scan", "pallas") if b != "pallas" or
+                not os.environ.get("SDTPU_SCAN_ONLY")]
     rng = np.random.default_rng(0)
     for n in (int(s) for s in args.sizes.split(",")):
         q, t = synth_pair(n, args.div, rng)
-        t0 = time.perf_counter()
-        r = align(q, t, mode="NW", task="path")
-        dt = time.perf_counter() - t0
-        ed = r["editDistance"]
-        gc = (len(q) * len(t)) / dt / 1e9
-        print(f"PATH NW {n/1e3:8.0f} kbp x {len(t)/1e3:.0f} kbp  div={args.div}"
-              f"  d={ed}  wall={dt:8.2f}s  ({gc:7.2f} Gcells-equiv/s)")
+        base = {}
+        for backend in backends:
+            bp.DEFAULT_BACKEND = backend
+            t0 = time.perf_counter()
+            r = align(q, t, mode="NW", task="path")
+            dt = time.perf_counter() - t0
+            ed = r["editDistance"]
+            if backend == "scan":
+                base["path"] = (dt, ed)
+            gc = (len(q) * len(t)) / dt / 1e9
+            sp = base["path"][0] / dt
+            assert ed == base["path"][1], (backend, ed, base["path"][1])
+            print(f"PATH NW {n/1e3:8.0f} kbp x {len(t)/1e3:.0f} kbp "
+                  f"div={args.div} [{backend:6s}] d={ed} wall={dt:8.2f}s "
+                  f"({gc:7.2f} Gcells-equiv/s, {sp:5.1f}x scan)")
 
     # SHW/HW banded small-k scaling on a 4 kbp query vs a 1 Mbp target
     tq, tt = synth_pair(4096, args.div, rng)
     big_t = tt * 256  # ~1 Mbp target
     for mode in ("SHW", "HW"):
-        ref = None
-        for k in (64, 256, -1):
-            t0 = time.perf_counter()
-            r = align(tq, big_t[: 1 << 20], mode=mode, task="distance", k=k)
-            dt = time.perf_counter() - t0
-            d = r["editDistance"]
-            if k != -1 and d != -1:
-                ref = d
-            if k == -1 and ref is not None:
-                assert d == ref, (mode, d, ref)
-            print(f"{mode} 4 kbp x 1 Mbp  k={k:5d}  d={d:6d}  wall={dt:7.2f}s")
+        for backend in backends:
+            bp.DEFAULT_BACKEND = backend
+            ref = None
+            for k in (64, 256, -1):
+                t0 = time.perf_counter()
+                r = align(tq, big_t[: 1 << 20], mode=mode, task="distance", k=k)
+                dt = time.perf_counter() - t0
+                d = r["editDistance"]
+                if k != -1 and d != -1:
+                    ref = d
+                if k == -1 and ref is not None:
+                    assert d == ref, (mode, d, ref)
+                print(f"{mode} 4 kbp x 1 Mbp [{backend:6s}] k={k:5d} "
+                      f"d={d:6d}  wall={dt:7.2f}s")
+    bp.DEFAULT_BACKEND = "scan"
 
 
 if __name__ == "__main__":
