@@ -363,6 +363,71 @@ def _myers_compact_alphabet(q, ql, t, tl):
     return lut_q[qn], lut_t[tn]
 
 
+def _banded_shw_rows_routed(q, ql, t, tl, k, Ltc, use_mask, eq_flat):
+    """Banded SHW scan, routed: on the Pallas routes the row values come
+    from the TRANSPOSED banded-NW final column — dist(q[:ql], t[:j]) =
+    dist(t[:j], q[:ql]), and the |i-j| <= k band is transpose-symmetric,
+    so the final column of the swapped problem at target column ql is
+    exactly the row-q_len value at every in-band j in [ql-k, ql+k]. Falls
+    back to the dp_banded_shw_rows scan otherwise."""
+    from . import banded_pallas as bp
+
+    mode_env = bp.DEFAULT_BACKEND
+    enabled = mode_env == "pallas" or (
+        mode_env == "auto" and jax.default_backend() != "cpu"
+    )
+    eligible = enabled and not use_mask and eq_flat is None and (
+        bp.myers_supported(q.shape[1], int(k), eq_flat, use_mask)
+        or bp.supported(q.shape[0], Ltc, q.shape[1], int(k), eq_flat)
+    )
+    if not eligible:
+        return np.asarray(dp_banded_shw_rows(
+            q, ql, t[:, :Ltc], tl, k=int(k), use_mask=use_mask,
+            eq_flat=eq_flat))
+    q2 = np.ascontiguousarray(np.asarray(t)[:, :Ltc])
+    q2l = np.minimum(np.asarray(tl), Ltc).astype(np.int32)
+    t2 = np.asarray(q)
+    t2l = np.asarray(ql).astype(np.int32)
+    cap = np.asarray(_banded_final_column(q2, q2l, t2, t2l, k=int(k)))
+    P, Bw = q.shape[0], 2 * int(k) + 1
+    rows = np.full((P, Ltc), BIG, np.int64)
+    b_idx = np.arange(Bw)
+    for p in range(P):
+        js = int(ql[p]) + b_idx - int(k)
+        m = (js >= 1) & (js <= min(Ltc, int(tl[p])))
+        rows[p, js[m] - 1] = cap[p, m]
+    return rows
+
+
+def _semi_rows_routed(q, ql, t, tl, free_target_prefix, use_mask, eq_flat):
+    """Row-q_len values for target columns 1..Lt ([P, Lt], EXACT) from the
+    fused full-height semi-global Myers kernel — one device dispatch for
+    the whole target instead of the adaptive host-chunked scan (HW) or the
+    full O(Lq*Lt) lastrow sweep (k=-1). None when the route is unavailable
+    (caller falls back)."""
+    from . import banded_pallas as bp
+
+    mode_env = bp.DEFAULT_BACKEND
+    enabled = mode_env == "pallas" or (
+        mode_env == "auto" and jax.default_backend() != "cpu"
+    )
+    if not (enabled and bp.semi_supported(q.shape[0], q.shape[1], eq_flat,
+                                          use_mask)):
+        return None
+    remap = _myers_compact_alphabet(q, ql, t, tl)
+    if remap is None:
+        return None
+    q2, t2 = remap
+    ends = np.asarray(bp.semi_ends_myers(
+        q2, ql, t2, tl, free_target_prefix=free_target_prefix)).astype(np.int64)
+    if not free_target_prefix:
+        # SHW with an empty query: D(0, j) = j (the kernel's end-row
+        # tracking starts at row 0 whose boundary it does not model)
+        for p in np.flatnonzero(np.asarray(ql) == 0):
+            ends[p] = np.arange(1, ends.shape[1] + 1)
+    return ends
+
+
 def _banded_nw_dist(q, ql, t, tl, k, use_mask=False, eq_flat=None):
     """Banded NW distance via the routed final-column sweep (the single
     distance is lane q_len - t_len + k of the final target column); on the
@@ -982,9 +1047,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
         # src/edlib.cpp:547-571); the scan also stops at max(q_len) + k
         # columns — O(k * q_len) cells instead of O(Lq * Lt)
         Ltc = min(t.shape[1], int(ql.max()) + k + 1)
-        rows_b = np.asarray(dp_banded_shw_rows(
-            q, ql, t[:, :Ltc], tl, k=int(k), use_mask=use_mask,
-            eq_flat=eq_flat))
+        rows_b = _banded_shw_rows_routed(q, ql, t, tl, int(k), Ltc,
+                                         use_mask, eq_flat)
         for p in range(n):
             row = rows_b[p, : min(Ltc, int(tl[p]))]
             d0 = int(ql[p])  # column j=0: empty target, always exact
@@ -994,11 +1058,14 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             es += [int(j) for j in np.flatnonzero(row == dists[p])]
             ends.append(es)
     elif mode == "HW" and 0 <= k and q.shape[1] > 2 * (2 * k + 256):
-        # small-k HW on a tall query: the adaptive-row chunk scan computes
-        # O((k + chunk) * Lt) cells instead of O(Lq * Lt); values above k
-        # are reported as BIG, which is all the k-threshold contract
-        # observes (src/edlib.cpp:547-728's banded semi-global pass)
-        rows_b = _hw_banded_scan(q, ql, t, tl, int(k), use_mask, eq_flat)
+        # small-k HW on a tall query: the fused semi-global Myers kernel
+        # (one dispatch, exact rows) when routed, else the adaptive-row
+        # chunk scan — O((k + chunk) * Lt) cells instead of O(Lq * Lt),
+        # values above k reported as BIG, which is all the k-threshold
+        # contract observes (src/edlib.cpp:547-728's banded semi-global)
+        rows_b = _semi_rows_routed(q, ql, t, tl, True, use_mask, eq_flat)
+        if rows_b is None:
+            rows_b = _hw_banded_scan(q, ql, t, tl, int(k), use_mask, eq_flat)
         for p in range(n):
             row = rows_b[p, : tl[p]]
             d0 = int(ql[p])  # column j=0: empty target span
@@ -1041,9 +1108,18 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             kd *= 2
         ends = [[int(tl[p]) - 1] for p in range(n)]
     else:
-        rows = np.asarray(dp_lastrow_batch(
-            q, ql, t, tl, free_target_prefix=(mode == "HW"), use_mask=use_mask,
-            eq_flat=eq_flat))
+        rows = None
+        if mode in ("SHW", "HW"):
+            em = _semi_rows_routed(q, ql, t, tl, mode == "HW", use_mask,
+                                   eq_flat)
+            if em is not None:
+                # prepend column 0 (empty target span): D(q_len, 0) = q_len
+                rows = np.concatenate([ql.astype(np.int64)[:, None], em],
+                                      axis=1)
+        if rows is None:
+            rows = np.asarray(dp_lastrow_batch(
+                q, ql, t, tl, free_target_prefix=(mode == "HW"),
+                use_mask=use_mask, eq_flat=eq_flat))
         for p in range(n):
             row = rows[p, : tl[p] + 1]
             if mode == "NW":

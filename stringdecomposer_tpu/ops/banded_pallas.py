@@ -488,6 +488,178 @@ def banded_final_column_myers(
 MYERS_MIN_K = 256
 
 
+# ---------------------------------------------------------------------------
+# Full-height semi-global Myers: the HW (infix; free target prefix,
+# D[0][j] = 0 — reference src/edlib.cpp:226-239's mode) and SHW
+# (D[0][j] = j) end-row scans as ONE fused kernel over the whole target.
+# Rows are fixed (no band sliding), so the Peq planes are static inputs;
+# each column is the textbook Myers update on ceil(Lq/32) word lanes plus
+# the Kogge-Stone carry, and the end-row score D(q_len, j) is tracked per
+# column from the horizontal-delta bit at the per-pair end row (a one-hot
+# word mask) and emitted by shift-append. Replaces the adaptive host-
+# chunked scan (one device dispatch instead of Lt/256) wherever the query
+# fits VMEM. Values are EXACT (full-height: no band, no contract games).
+# ---------------------------------------------------------------------------
+
+def _semi_kernel(
+    t_ref,  # [Pp, CT] target chars for this column tile
+    peq_ref,  # [Pp, 4*Wp] static Peq planes (rows masked past q_len)
+    hot_ref,  # [Pp, Wp] one-hot mask of bit q_len-1 (all-zero if q_len==0)
+    qlen_ref,  # [Pp, 1] q_len (initial end-row score: D(q_len, 0))
+    ends_out,  # [Pp, CT] end-row scores for this tile's columns
+    vp_s, vn_s, s_s,  # scratch: state planes + end-row score
+    *,
+    Wp: int,
+    Pp: int,
+    col_tile: int,
+    hp0: int,  # boundary horizontal delta bit: HW 0, SHW 1
+):
+    g = pl.program_id(0)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (Pp, Wp), 1)
+    hot = hot_ref[...]
+
+    @pl.when(g == 0)
+    def _():
+        vp_s[...] = jnp.full((Pp, Wp), -1, jnp.int32)  # column 0: all +1
+        vn_s[...] = jnp.zeros((Pp, Wp), jnp.int32)
+        s_s[...] = qlen_ref[...]  # D(q_len, 0) = q_len
+
+    def shift_up(v, s):
+        return jnp.where(widx >= s, pltpu.roll(v, s, 1), 0)
+
+    def vshift_up1(v, bit0):
+        prev = shift_up(v, 1)
+        out = (v << 1) | ((prev >> 31) & 1)
+        return jnp.where(widx == 0, out | bit0, out)
+
+    def add_carry(a, b):
+        s = a + b
+        gbit = ((a & b) | ((a | b) & ~s)) >> 31 & 1
+        pbit = (s == -1).astype(jnp.int32)
+        gk, pk = gbit, pbit
+        step = 1
+        while step < Wp:
+            gk = gk | (pk & shift_up(gk, step))
+            pk = pk & shift_up(pk, step)
+            step *= 2
+        return s + shift_up(gk, 1)
+
+    def one(tc, vp, vn, s, peq):
+        p0 = peq[:, :Wp]
+        p1 = peq[:, Wp : 2 * Wp]
+        p2 = peq[:, 2 * Wp : 3 * Wp]
+        p3 = peq[:, 3 * Wp :]
+        eq = jnp.where(
+            tc == 0, p0, jnp.where(tc == 1, p1, jnp.where(tc == 2, p2,
+                                                          jnp.where(tc == 3, p3, 0)))
+        )
+        x = eq | vn
+        d0 = (add_carry(x & vp, vp) ^ vp) | x
+        hp = vn | ~(d0 | vp)
+        hn = d0 & vp
+        # end-row horizontal delta: the (at most one) hot bit of hp/hn
+        dpos = jnp.sum(jnp.where((hp & hot) != 0, 1, 0), axis=1,
+                       keepdims=True)
+        dneg = jnp.sum(jnp.where((hn & hot) != 0, 1, 0), axis=1,
+                       keepdims=True)
+        s = s + dpos - dneg
+        hpsh = vshift_up1(hp, hp0)
+        hnsh = vshift_up1(hn, 0)
+        vp = hnsh | ~(d0 | hpsh)
+        vn = d0 & hpsh
+        return vp, vn, s
+
+    UNROLL = 4 if col_tile % 4 == 0 else 1
+    peq = peq_ref[...]
+
+    def body(i, carry):
+        vp, vn, s, t_r, acc = carry
+        emits = []
+        for u in range(UNROLL):
+            vp, vn, s = one(t_r[:, u : u + 1], vp, vn, s, peq)
+            emits.append(s)
+        acc = jnp.concatenate([acc[:, UNROLL:]] + emits, axis=1)
+        return vp, vn, s, pltpu.roll(t_r, col_tile - UNROLL, 1), acc
+
+    vp, vn, s, _, acc = jax.lax.fori_loop(
+        0, col_tile // UNROLL, body,
+        (vp_s[...], vn_s[...], s_s[...], t_ref[...],
+         jnp.zeros((Pp, col_tile), jnp.int32)),
+    )
+    vp_s[...] = vp
+    vn_s[...] = vn
+    s_s[...] = s
+    ends_out[...] = acc
+
+
+@partial(jax.jit, static_argnames=("free_target_prefix",))
+def semi_ends_myers(
+    q: jnp.ndarray,  # [P, Lq] plain codes
+    q_lens: jnp.ndarray,  # [P]
+    t: jnp.ndarray,  # [P, Lt]
+    t_lens: jnp.ndarray,  # [P] (unused: callers slice; kept for symmetry)
+    free_target_prefix: bool = True,  # True = HW, False = SHW
+) -> jnp.ndarray:
+    """ends[p, j-1] = dist(q[p][:q_len], t[p][:j]) for j = 1..Lt under the
+    HW (free target prefix) or SHW boundary — exact, full-height. Rows with
+    q_len == 0 are WRONG for SHW (callers special-case them)."""
+    P, Lq = q.shape
+    _, Lt = t.shape
+    W = max(1, -(-Lq // 32))
+    Wp = max(128, -(-W // 128) * 128)
+    Pp = max(8, -(-P // 8) * 8)
+    n_tiles = max(1, -(-Lt // COL_TILE))
+    Ltp = n_tiles * COL_TILE
+
+    q = q.astype(jnp.int32)
+    row_i = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    qm = jnp.where(row_i < q_lens[:, None], q, -9)
+    qmp = jnp.pad(qm, ((0, Pp - P), (0, 0)), constant_values=-9)
+    peq0 = jnp.concatenate(
+        [_pack_bits(qmp == c, Wp) for c in range(4)], axis=1
+    )
+    qlp = jnp.pad(q_lens.astype(jnp.int32), (0, Pp - P))[:, None]
+    # one-hot of bit (q_len - 1): word (q_len-1)//32, bit (q_len-1)%32
+    hotw = jnp.where(qlp > 0, (qlp - 1) // 32, -1)
+    hotb = jnp.where(qlp > 0, (qlp - 1) % 32, 0)
+    widx = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    hot = jnp.where(widx == hotw, 1 << hotb, 0).astype(jnp.int32)
+    tp = jnp.pad(t.astype(jnp.int32), ((0, Pp - P), (0, Ltp - Lt)),
+                 constant_values=-1)
+
+    kern = partial(_semi_kernel, Wp=Wp, Pp=Pp, col_tile=COL_TILE,
+                   hp0=0 if free_target_prefix else 1)
+    interpret = jax.default_backend() == "cpu"
+    ends = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((Pp, COL_TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 4 * Wp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, Wp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, 1), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Pp, COL_TILE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, Ltp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Pp, Wp), jnp.int32),
+            pltpu.VMEM((Pp, Wp), jnp.int32),
+            pltpu.VMEM((Pp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tp, peq0, hot, qlp)
+    return ends[:P, :Lt]
+
+
+def semi_supported(P: int, Lq: int, eq_flat, use_mask: bool) -> bool:
+    """Full-height semi-global route eligibility: plain codes and the word
+    planes must fit VMEM (4 Peq + 2 state + hot + emit)."""
+    if use_mask or eq_flat is not None or Lq == 0:
+        return False
+    Wp = max(128, -(-max(1, -(-Lq // 32)) // 128) * 128)
+    return 8 * 8 * Wp * 4 <= (8 << 20)
+
+
 def myers_supported(Lt: int, k: int, eq_flat, use_mask: bool) -> bool:
     """Bit-parallel route eligibility: plain-code alphabets only, k past
     the crossover, and the word planes must fit VMEM (4 Peq + 2x state +

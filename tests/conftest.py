@@ -24,6 +24,18 @@ import pathlib
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop live compiled executables between test modules. The XLA CPU
+    JIT segfaults deterministically once a single process accumulates the
+    full suite's compile volume (reproduced: align + banded_pallas modules
+    then ONE more jit compile crashes in backend_compile_and_load);
+    releasing executables at module boundaries keeps the process under
+    that cliff. Costs a few cross-module recompiles, all cache-warm."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     if ON_TPU:
         return

@@ -13,28 +13,33 @@ from stringdecomposer_tpu.ops.align import (
 )
 
 
+def _bucketed(rng, P, Lq_max, Lt_max):
+    """Random case on pow2-bucketed array shapes (random lens decide the
+    real sizes): full coverage with O(1) distinct jit compiles per suite."""
+    Lq = 1 << int(np.ceil(np.log2(Lq_max)))
+    Lt = 1 << int(np.ceil(np.log2(Lt_max)))
+    q = rng.integers(0, 4, (P, Lq)).astype(np.int8)
+    t = rng.integers(0, 4, (P, Lt)).astype(np.int8)
+    ql = rng.integers(0, Lq + 1, P).astype(np.int32)
+    tl = rng.integers(0, Lt + 1, P).astype(np.int32)
+    return q, ql, t, tl
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_final_column_parity_random(seed):
     rng = np.random.default_rng(seed)
     for _ in range(8):
-        P = int(rng.integers(1, 6))
-        Lq = int(rng.integers(1, 200))
-        Lt = int(rng.integers(1, 300))
+        q, ql, t, tl = _bucketed(rng, 4, 200, 300)
         k = int(rng.choice([1, 3, 8, 16, 64]))
-        q = rng.integers(0, 4, (P, Lq)).astype(np.int8)
-        t = rng.integers(0, 4, (P, Lt)).astype(np.int8)
-        ql = rng.integers(0, Lq + 1, P).astype(np.int32)
-        tl = rng.integers(0, Lt + 1, P).astype(np.int32)
         want = np.asarray(dp_banded_lastrow_batch(q, ql, t, tl, k=k))
         got = np.asarray(bp.banded_final_column_pallas(q, ql, t, tl, k=k))
-        assert (want == got).all(), (P, Lq, Lt, k)
+        assert (want == got).all(), (ql, tl, k)
 
 
 def test_final_column_parity_mask_mode():
     rng = np.random.default_rng(3)
     for _ in range(6):
-        P, Lq, Lt = (int(rng.integers(1, 5)), int(rng.integers(1, 150)),
-                     int(rng.integers(1, 150)))
+        P, Lq, Lt = 4, 256, 256
         k = int(rng.choice([2, 8, 33]))
         A = 7  # small compact alphabet with ambiguity: 2 bits set per row
         qm = ((1 << rng.integers(0, A, (P, Lq)))
@@ -99,18 +104,12 @@ def test_myers_contract_vs_scan(seed):
 
     rng = np.random.default_rng(seed)
     for _ in range(8):
-        P = int(rng.integers(1, 5))
-        Lq = int(rng.integers(1, 220))
-        Lt = int(rng.integers(1, 300))
+        q, ql, t, tl = _bucketed(rng, 4, 220, 300)
         k = int(rng.choice([1, 2, 8, 31, 64, 100]))
-        q = rng.integers(0, 4, (P, Lq)).astype(np.int8)
-        t = rng.integers(0, 4, (P, Lt)).astype(np.int8)
-        ql = rng.integers(0, Lq + 1, P).astype(np.int32)
-        tl = rng.integers(0, Lt + 1, P).astype(np.int32)
         want = np.asarray(dp_banded_lastrow_batch(q, ql, t, tl, k=k))
         got = np.asarray(bp.banded_final_column_myers(q, ql, t, tl, k=k))
-        assert np.all((want == got) | (want > k)), (P, Lq, Lt, k)
-        assert np.all((got >= want) | (want >= BIG)), (P, Lq, Lt, k)
+        assert np.all((want == got) | (want > k)), (ql, tl, k)
+        assert np.all((got >= want) | (want >= BIG)), (ql, tl, k)
 
 
 def test_align_path_byte_identical_on_myers_route(monkeypatch):
@@ -168,3 +167,65 @@ def test_supported_gates():
     assert not bp.supported(4, 100, 100, 8, np.zeros(4))  # lut mode
     assert bp.supported(4, 1000, 1000, 64, None)
     assert not bp.supported(4096, 100000, 100000, 60000, None)  # VMEM
+
+
+def test_shw_transpose_route_matches_scan(monkeypatch):
+    """SHW small-k results via the transposed banded-NW final column equal
+    the scan route: distance, found flag, and the full end-location sets."""
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(14)
+    alpha = np.array(list("ACGT"))
+    qs, ts = [], []
+    for _ in range(5):
+        n = int(rng.integers(300, 900))
+        a = rng.integers(0, 4, n)
+        tlen = int(rng.integers(n // 2, 2 * n))
+        b = np.concatenate([a, rng.integers(0, 4, max(0, tlen - n))])[:tlen]
+        nm = int(rng.integers(0, 30))
+        for i in sorted(rng.choice(len(b), min(nm, len(b)),
+                                   replace=False).tolist(), reverse=True):
+            b[i] = (b[i] + 1 + rng.integers(3)) % 4
+        qs.append("".join(alpha[a]))
+        ts.append("".join(alpha[b]))
+    want = align.align_batch(qs, ts, mode="SHW", task="locations", k=64)
+    monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+    monkeypatch.setattr(bp, "MYERS_MIN_K", 8)
+    got = align.align_batch(qs, ts, mode="SHW", task="locations", k=64)
+    for w, g in zip(want, got):
+        assert w["editDistance"] == g["editDistance"]
+        assert w["endLocations"] == g["endLocations"]
+
+
+def test_semi_global_route_matches_scan(monkeypatch):
+    """HW (infix) and SHW results via the fused full-height semi-global
+    Myers kernel equal the scan routes — small-k banded branches and the
+    k=-1 full sweeps, including empty-query rows."""
+    from stringdecomposer_tpu.ops import align
+
+    rng = np.random.default_rng(15)
+    alpha = np.array(list("ACGT"))
+    qs, ts = [], []
+    for _ in range(4):
+        n = int(rng.integers(100, 600))
+        a = rng.integers(0, 4, n)
+        big = np.concatenate([rng.integers(0, 4, 300), a,
+                              rng.integers(0, 4, 500)])
+        nm = int(rng.integers(0, 20))
+        for i in sorted(rng.choice(len(big), nm, replace=False).tolist(),
+                        reverse=True):
+            big[i] = (big[i] + 1 + rng.integers(3)) % 4
+        qs.append("".join(alpha[a]))
+        ts.append("".join(alpha[big]))
+    qs.append("")
+    ts.append("ACGTACGT")
+    for mode in ("HW", "SHW"):
+        for k in (48, -1):
+            monkeypatch.setattr(bp, "DEFAULT_BACKEND", "scan")
+            want = align.align_batch(qs, ts, mode=mode, task="locations", k=k)
+            monkeypatch.setattr(bp, "DEFAULT_BACKEND", "pallas")
+            got = align.align_batch(qs, ts, mode=mode, task="locations", k=k)
+            for w, g in zip(want, got):
+                assert w["editDistance"] == g["editDistance"], (mode, k)
+                assert w["endLocations"] == g["endLocations"], (mode, k)
+                assert w["startLocations"] == g["startLocations"], (mode, k)
