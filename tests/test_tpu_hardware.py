@@ -99,3 +99,47 @@ def test_hirschberg_large_pair_on_hardware(tmp_path):
     r = _run([str(script)], timeout=1500.0)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "HIRSCHBERG-OK" in r.stdout
+
+
+def test_banded_and_semi_kernels_on_hardware(tmp_path):
+    """The K3 alignment kernels on the Mosaic compile path: int32 band and
+    bit-parallel Myers vs the banded scan (exact where scan <= k, >= it
+    elsewhere), and the full-height semi-global ends scan vs dp_lastrow
+    (exact) — HW and SHW boundaries."""
+    script = tmp_path / "k3.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import numpy as np\n"
+        "from stringdecomposer_tpu.ops.align import (dp_banded_lastrow_batch,\n"
+        "    dp_lastrow_batch, BIG)\n"
+        "from stringdecomposer_tpu.ops import banded_pallas as bp\n"
+        "rng = np.random.default_rng(3)\n"
+        "for k in (16, 64, 300):\n"
+        "    q = rng.integers(0, 4, (4, 2048)).astype(np.int8)\n"
+        "    t = rng.integers(0, 4, (4, 4096)).astype(np.int8)\n"
+        "    ql = rng.integers(0, 2049, 4).astype(np.int32)\n"
+        "    tl = rng.integers(0, 4097, 4).astype(np.int32)\n"
+        "    want = np.asarray(dp_banded_lastrow_batch(q, ql, t, tl, k=k))\n"
+        "    for fn in (bp.banded_final_column_pallas,\n"
+        "               bp.banded_final_column_myers):\n"
+        "        got = np.asarray(fn(q, ql, t, tl, k=k))\n"
+        "        assert np.all((want == got) | (want > k)), (fn.__name__, k)\n"
+        "        assert np.all((got >= want) | (want >= BIG)), (fn.__name__, k)\n"
+        "q = rng.integers(0, 4, (4, 1024)).astype(np.int8)\n"
+        "t = rng.integers(0, 4, (4, 3000)).astype(np.int8)\n"
+        "ql = rng.integers(1, 1025, 4).astype(np.int32)\n"
+        "tl = rng.integers(0, 3001, 4).astype(np.int32)\n"
+        "for hw in (True, False):\n"
+        "    rows = np.asarray(dp_lastrow_batch(q, ql, t, tl,\n"
+        "                                       free_target_prefix=hw))\n"
+        "    got = np.asarray(bp.semi_ends_myers(q, ql, t, tl,\n"
+        "                                        free_target_prefix=hw))\n"
+        "    for p in range(4):\n"
+        "        assert np.array_equal(rows[p, 1 : int(tl[p]) + 1],\n"
+        "                              got[p, : int(tl[p])]), (hw, p)\n"
+        "print('K3-HW-OK')\n"
+    )
+    r = _run([str(script)], timeout=1500.0)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "K3-HW-OK" in r.stdout
