@@ -33,6 +33,7 @@ fixtures in tests/fixtures/align_cases.json):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -318,19 +319,67 @@ def _banded_final_column(q, ql, t, tl, k, use_mask=False, eq_flat=None):
         remap = _myers_compact_alphabet(q, ql, t, tl)
         if remap is not None:
             q2, t2 = remap
-            return bp.banded_final_column_myers(q2, ql, t2, tl, k=int(k))
+            return _rows_sharded(
+                lambda a, b, c, d: bp.banded_final_column_myers(a, b, c, d,
+                                                                k=int(k)),
+                (q2, ql, t2, tl))
     if enabled and bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k),
                                 eq_flat):
-        return bp.banded_final_column_pallas(q, ql, t, tl, k=int(k),
-                                             use_mask=use_mask)
-    return dp_banded_lastrow_batch(q, ql, t, tl, k=int(k), use_mask=use_mask,
-                                   eq_flat=eq_flat)
+        return _rows_sharded(
+            lambda a, b, c, d: bp.banded_final_column_pallas(
+                a, b, c, d, k=int(k), use_mask=use_mask),
+            (q, ql, t, tl))
+    return _rows_sharded(
+        lambda a, b, c, d, *e: dp_banded_lastrow_batch(
+            a, b, c, d, k=int(k), use_mask=use_mask,
+            eq_flat=e[0] if e else None),
+        (q, ql, t, tl), (eq_flat,) if eq_flat is not None else ())
 
 
 # minimum padded length before exact NW distance (k=-1) switches from the
 # one full sweep to banded k-doubling (below this the full sweep is one
 # cheap fused call and doubling only adds dispatches)
 NW_DOUBLING_MIN_LEN = 4096
+
+# data-parallel alignment batches: "auto" shards the batch axis of every
+# routed sweep across the visible devices (shard_map, zero collectives —
+# rows are independent pairs; the reference's pip-edlib binding is strictly
+# single-core). "off" pins single-device. Read once at import.
+ALIGN_DATA_PARALLEL = os.environ.get("SDTPU_ALIGN_DP", "auto")
+
+
+def _rows_sharded(fn, arrays, replicated=()):
+    """Run fn(*arrays, *replicated) with the leading axis of `arrays` split
+    across the device mesh — bit-identical to single-device execution (each
+    row is an independent pair; out rows come back in order). Falls through
+    on one device, small batches, or SDTPU_ALIGN_DP=off."""
+    devs = jax.devices()
+    n_dev = len(devs)
+    P0 = arrays[0].shape[0]
+    if ALIGN_DATA_PARALLEL == "off" or n_dev == 1 or P0 < n_dev:
+        return fn(*arrays, *replicated)
+    from jax.sharding import Mesh, PartitionSpec
+
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _sm(f, **kw)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    Pp = -(-P0 // n_dev) * n_dev
+    padded = [np.pad(np.asarray(a), [(0, Pp - P0)] + [(0, 0)] * (a.ndim - 1))
+              for a in arrays]
+    mesh = Mesh(np.array(devs), ("rows",))
+    specs = tuple(PartitionSpec("rows") for _ in arrays) + tuple(
+        PartitionSpec() for _ in replicated)
+    out = shard_map(
+        lambda *xs: fn(*xs), mesh=mesh, in_specs=specs,
+        out_specs=PartitionSpec("rows"), check_rep=False,
+    )(*padded, *replicated)
+    return out[:P0]
 
 
 def _rows_pow2(arr, lens, idx):
@@ -363,6 +412,17 @@ def _myers_compact_alphabet(q, ql, t, tl):
     return lut_q[qn], lut_t[tn]
 
 
+def _lastrow_sharded(q, ql, t, tl, free_target_prefix=False, use_mask=False,
+                     eq_flat=None):
+    """dp_lastrow_batch with the batch axis split over the mesh (rows are
+    independent pairs; eq_flat replicates)."""
+    return _rows_sharded(
+        lambda a, b, c, d, *e: dp_lastrow_batch(
+            a, b, c, d, free_target_prefix=free_target_prefix,
+            use_mask=use_mask, eq_flat=e[0] if e else None),
+        (q, ql, t, tl), (eq_flat,) if eq_flat is not None else ())
+
+
 def _banded_shw_rows_routed(q, ql, t, tl, k, Ltc, use_mask, eq_flat):
     """Banded SHW scan, routed: on the Pallas routes the row values come
     from the TRANSPOSED banded-NW final column — dist(q[:ql], t[:j]) =
@@ -381,9 +441,12 @@ def _banded_shw_rows_routed(q, ql, t, tl, k, Ltc, use_mask, eq_flat):
         or bp.supported(q.shape[0], Ltc, q.shape[1], int(k), eq_flat)
     )
     if not eligible:
-        return np.asarray(dp_banded_shw_rows(
-            q, ql, t[:, :Ltc], tl, k=int(k), use_mask=use_mask,
-            eq_flat=eq_flat))
+        return np.asarray(_rows_sharded(
+            lambda a, b, c, d, *e: dp_banded_shw_rows(
+                a, b, c, d, k=int(k), use_mask=use_mask,
+                eq_flat=e[0] if e else None),
+            (q, ql, np.ascontiguousarray(np.asarray(t)[:, :Ltc]), tl),
+            (eq_flat,) if eq_flat is not None else ()))
     q2 = np.ascontiguousarray(np.asarray(t)[:, :Ltc])
     q2l = np.minimum(np.asarray(tl), Ltc).astype(np.int32)
     t2 = np.asarray(q)
@@ -418,8 +481,10 @@ def _semi_rows_routed(q, ql, t, tl, free_target_prefix, use_mask, eq_flat):
     if remap is None:
         return None
     q2, t2 = remap
-    ends = np.asarray(bp.semi_ends_myers(
-        q2, ql, t2, tl, free_target_prefix=free_target_prefix)).astype(np.int64)
+    ends = np.asarray(_rows_sharded(
+        lambda a, b, c, d: bp.semi_ends_myers(
+            a, b, c, d, free_target_prefix=free_target_prefix),
+        (q2, ql, t2, tl))).astype(np.int64)
     if not free_target_prefix:
         # SHW with an empty query: D(0, j) = j (the kernel's end-row
         # tracking starts at row 0 whose boundary it does not model)
@@ -444,9 +509,11 @@ def _banded_nw_dist(q, ql, t, tl, k, use_mask=False, eq_flat=None):
         bp.myers_supported(t.shape[1], int(k), eq_flat, use_mask)
         or bp.supported(q.shape[0], q.shape[1], t.shape[1], int(k), eq_flat)
     )):
-        return np.asarray(dp_banded_nw_batch(q, ql, t, tl, k=int(k),
-                                             use_mask=use_mask,
-                                             eq_flat=eq_flat))
+        return np.asarray(_rows_sharded(
+            lambda a, b, c, d, *e: dp_banded_nw_batch(
+                a, b, c, d, k=int(k), use_mask=use_mask,
+                eq_flat=e[0] if e else None),
+            (q, ql, t, tl), (eq_flat,) if eq_flat is not None else ()))
     cap = np.asarray(_banded_final_column(q, ql, t, tl, k=int(k),
                                           use_mask=use_mask,
                                           eq_flat=eq_flat))
@@ -916,9 +983,9 @@ def _hirschberg_ops(q: np.ndarray, t: np.ndarray,
                 bwd_t.append(sq[::-1].copy())
             q_all, ql_all = _pad_pow2([as_q(x) for x in fwd_q + bwd_q])
             t_all, tl_all = _pad_pow2([as_t(x) for x in fwd_t + bwd_t])
-            rows = np.asarray(dp_lastrow_batch(q_all, ql_all, t_all, tl_all,
-                                               use_mask=use_mask,
-                                               eq_flat=eq_flat))
+            rows = np.asarray(_lastrow_sharded(
+                q_all, ql_all, t_all, tl_all, use_mask=use_mask,
+                eq_flat=eq_flat))
         # replace each split task by (left half, right half) in order;
         # reverse iteration keeps earlier segment indices valid
         for rev_i in range(nj - 1, -1, -1):
@@ -1092,7 +1159,7 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
                     continue
                 qi, qli = _rows_pow2(q, ql, part)
                 ti, tli = _rows_pow2(t, tl, part)
-                rows = np.asarray(dp_lastrow_batch(
+                rows = np.asarray(_lastrow_sharded(
                     qi, qli, ti, tli, use_mask=use_mask, eq_flat=eq_flat))
                 dists[part] = rows[np.arange(len(part)), tl[part]]
             if unresolved.size:
@@ -1117,7 +1184,7 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
                 rows = np.concatenate([ql.astype(np.int64)[:, None], em],
                                       axis=1)
         if rows is None:
-            rows = np.asarray(dp_lastrow_batch(
+            rows = np.asarray(_lastrow_sharded(
                 q, ql, t, tl, free_target_prefix=(mode == "HW"),
                 use_mask=use_mask, eq_flat=eq_flat))
         for p in range(n):
@@ -1159,8 +1226,8 @@ def _align_chunk(qs, ts, mode, task, k, cigar_format, equalities=None) -> list[d
             if idx:
                 rq, rql = _pad_batch(rqs)
                 rt, rtl = _pad_batch(rts)
-                rrows = np.asarray(dp_lastrow_batch(rq, rql, rt, rtl, use_mask=use_mask,
-                                                    eq_flat=eq_flat))
+                rrows = np.asarray(_lastrow_sharded(
+                    rq, rql, rt, rtl, use_mask=use_mask, eq_flat=eq_flat))
             for p in range(n):
                 if found[p]:
                     starts[p] = [0] * len(ends[p])

@@ -229,3 +229,33 @@ def test_semi_global_route_matches_scan(monkeypatch):
                 assert w["editDistance"] == g["editDistance"], (mode, k)
                 assert w["endLocations"] == g["endLocations"], (mode, k)
                 assert w["startLocations"] == g["startLocations"], (mode, k)
+
+
+def test_align_data_parallel_byte_identical(monkeypatch):
+    """SDTPU_ALIGN_DP: results over the 8-device virtual mesh (the default
+    in this suite) are byte-identical to forced single-device execution —
+    rows are independent pairs, sharding must be invisible."""
+    import jax
+
+    from stringdecomposer_tpu.ops import align
+
+    assert len(jax.devices()) >= 2  # conftest forces the virtual mesh
+    rng = np.random.default_rng(16)
+    alpha = np.array(list("ACGT"))
+    qs, ts = [], []
+    for _ in range(19):  # odd, > n_dev: exercises row padding
+        n = int(rng.integers(50, 500))
+        a = rng.integers(0, 4, n)
+        b = a.copy()
+        for i in sorted(rng.choice(n, int(rng.integers(0, 12)),
+                                   replace=False).tolist(), reverse=True):
+            b[i] = (b[i] + 1 + rng.integers(3)) % 4
+        qs.append("".join(alpha[a]))
+        ts.append("".join(alpha[b]))
+    for mode, task in (("NW", "path"), ("SHW", "locations"),
+                       ("HW", "locations")):
+        sharded = align.align_batch(qs, ts, mode=mode, task=task, k=40)
+        monkeypatch.setattr(align, "ALIGN_DATA_PARALLEL", "off")
+        single = align.align_batch(qs, ts, mode=mode, task=task, k=40)
+        monkeypatch.setattr(align, "ALIGN_DATA_PARALLEL", "auto")
+        assert sharded == single, (mode, task)
