@@ -126,6 +126,16 @@ def test_banded_and_semi_kernels_on_hardware(tmp_path):
         "        got = np.asarray(fn(q, ql, t, tl, k=k))\n"
         "        assert np.all((want == got) | (want > k)), (fn.__name__, k)\n"
         "        assert np.all((got >= want) | (want >= BIG)), (fn.__name__, k)\n"
+        "qm = ((1 << rng.integers(0, 7, (4, 512)))\n"
+        "      | (1 << rng.integers(0, 7, (4, 512)))).astype(np.int32)\n"
+        "ti = rng.integers(0, 7, (4, 700)).astype(np.int32)\n"
+        "qlm = rng.integers(0, 513, 4).astype(np.int32)\n"
+        "tlm = rng.integers(0, 701, 4).astype(np.int32)\n"
+        "wm = np.asarray(dp_banded_lastrow_batch(qm, qlm, ti, tlm, k=33,\n"
+        "                                        use_mask=True))\n"
+        "gm = np.asarray(bp.banded_final_column_pallas(qm, qlm, ti, tlm,\n"
+        "                                              k=33, use_mask=True))\n"
+        "assert (wm == gm).all()  # mask mode: variable vector shift path\n"
         "q = rng.integers(0, 4, (4, 1024)).astype(np.int8)\n"
         "t = rng.integers(0, 4, (4, 3000)).astype(np.int8)\n"
         "ql = rng.integers(1, 1025, 4).astype(np.int32)\n"
