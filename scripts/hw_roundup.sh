@@ -24,6 +24,11 @@ diff -q "$OUT/golden/final_decomposition.tsv" \
   stringdecomposer_tpu/test_data/final_decomposition_fc89af8.tsv \
   && echo GOLDEN_OK || echo GOLDEN_FAIL
 
+note "K3 alignment kernels Mosaic parity"
+SDTPU_TESTS_ON_TPU=1 timeout 1800 python -m pytest \
+  tests/test_tpu_hardware.py::test_banded_and_semi_kernels_on_hardware \
+  -q > "$OUT/k3.txt" 2>&1 && echo K3_OK || tail -5 "$OUT/k3.txt"
+
 note "group-max A/B (ablate_chain)"
 timeout 1200 python scripts/ablate_chain.py base subroll unroll8 hoist \
   > "$OUT/ablate.txt" 2>&1
