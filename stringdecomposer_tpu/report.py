@@ -12,6 +12,9 @@ from __future__ import annotations
 from .ops.oracle import Block
 
 
+_ID6_MEMO: dict[float, str] = {}
+
+
 def format_raw_rows(read_name: str, blocks: list[Block], monomer_names: list[str],
                     prev_end: int = 0) -> list[str]:
     """7-column raw TSV rows for one read (src/main.cpp:272-285).
@@ -19,21 +22,20 @@ def format_raw_rows(read_name: str, blocks: list[Block], monomer_names: list[str
     identity is printed like C++ std::to_string(float) — six decimals.
     `prev_end` seeds the gap column when a read's blocks are emitted in
     chunks (the streaming pipeline); pass the previous chunk's last end.
+    Identities are match/length ratios with few distinct doubles across an
+    assembly, so their 6-decimal strings memoize (same trick as the final
+    emission, finishing.write_final_rows).
     """
+    memo = _ID6_MEMO
     rows = []
     for b in blocks:
+        ident = float(b.identity)
+        id6 = memo.get(ident)
+        if id6 is None:
+            id6 = memo[ident] = f"{ident:.6f}"
         rows.append(
-            "\t".join(
-                [
-                    read_name,
-                    monomer_names[b.monomer],
-                    str(b.start),
-                    str(b.end),
-                    f"{b.identity:.6f}",
-                    str(b.start - prev_end),
-                    str(b.end - b.start),
-                ]
-            )
+            f"{read_name}\t{monomer_names[b.monomer]}\t{b.start}\t{b.end}\t"
+            f"{id6}\t{b.start - prev_end}\t{b.end - b.start}"
         )
         prev_end = b.end
     return rows
