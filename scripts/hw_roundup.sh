@@ -38,6 +38,10 @@ note "bench.py (full: DP + e2e 1.6 Mbp + 20 Mbp)"
 timeout 3600 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
 cat "$OUT/bench.json"
 
+note "host-threads A/B (-t 1 vs -t 4, 20 Mbp, byte gate)"
+timeout 3600 python scripts/ab_threads.py 20 1,4 > "$OUT/threads.txt" 2>&1
+tail -5 "$OUT/threads.txt"
+
 note "alignment API (bench_align)"
 timeout 2400 python scripts/bench_align.py > "$OUT/align.txt" 2>&1
 cat "$OUT/align.txt"
