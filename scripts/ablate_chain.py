@@ -51,9 +51,17 @@ def make_kernel(L, BT, m_pad, pos_tile, variant):
         rc_tile = rc_ref[...]
 
         n_ladder = {"ladder4": 4, "ladder2": 2}.get(variant, 8)
-        # sublane group-id per row (for the subroll segmented max)
-        row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        gid = row // m_pad
+        # compile-time same-group masks for the subroll segmented max
+        # (rolling a gid column per step doubled live narrow-column state
+        # and blew the 16 MB scoped-VMEM limit)
+        row_np = np.arange(R)[:, None]
+        gid_np = row_np // m_pad
+        down_mask, up_mask = {}, {}
+        s0 = 1
+        while s0 < m_pad:
+            down_mask[s0] = jnp.asarray((((row_np - s0) % R) // m_pad) == gid_np)
+            up_mask[s0] = jnp.asarray((((row_np + s0) % R) // m_pad) == gid_np)
+            s0 *= 2
 
         def pair_cummax_packed(t, p):
             tb = jnp.maximum(t + PACK_BIAS, 0)

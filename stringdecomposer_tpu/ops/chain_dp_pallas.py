@@ -203,9 +203,21 @@ def _dp_kernel(
             s *= 2
         return tb - PACK_BIAS, p
 
-    # precomputed sublane-group ids for the subroll group_max
-    _row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    _gid = _row // m_pad
+    # Compile-time same-group masks for the subroll group_max: under a
+    # circular sublane roll by s, output row r holds input row (r - s) % R,
+    # so "shifted row is in my group" is a static predicate — bake it as a
+    # numpy constant instead of rolling a gid column every step (the rolled
+    # gid comparisons doubled the live narrow-column state and pushed the
+    # kernel past the 16 MB scoped-VMEM limit at production shapes).
+    _row_np = np.arange(R)[:, None]
+    _gid_np = _row_np // m_pad
+    _down_mask = {}
+    _up_mask = {}
+    s = 1
+    while s < m_pad:
+        _down_mask[s] = jnp.asarray((((_row_np - s) % R) // m_pad) == _gid_np)
+        _up_mask[s] = jnp.asarray((((_row_np + s) % R) // m_pad) == _gid_np)
+        s *= 2
 
     def group_max(end_v):
         # per-window chain score: max over each m_pad-row group of the [R, 1]
@@ -223,10 +235,12 @@ def _dp_kernel(
             pre, suf = col, col
             s = 1
             while s < m_pad:
-                ok = pltpu.roll(_gid, s, 0) == _gid
-                pre = jnp.maximum(pre, jnp.where(ok, pltpu.roll(pre, s, 0), NEG))
-                ok2 = pltpu.roll(_gid, R - s, 0) == _gid
-                suf = jnp.maximum(suf, jnp.where(ok2, pltpu.roll(suf, R - s, 0), NEG))
+                pre = jnp.maximum(
+                    pre, jnp.where(_down_mask[s], pltpu.roll(pre, s, 0), NEG)
+                )
+                suf = jnp.maximum(
+                    suf, jnp.where(_up_mask[s], pltpu.roll(suf, R - s, 0), NEG)
+                )
                 s *= 2
             return jnp.maximum(pre, suf).astype(dtype)
         parts = []
@@ -456,6 +470,14 @@ def chain_dp_forward_pallas(
         packed=packed, group_mode=group_mode,
     )
     interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
+    # subroll's unrolled masked-roll ladder spills more narrow-column
+    # temporaries than the 16 MB scoped-VMEM default allows at production
+    # shapes; the concat path stays on the default (proven-good compile).
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        if group_mode == "subroll"
+        else None
+    )
     end_rest, spend_rest = pl.pallas_call(
         kernel,
         grid=(nprog, n_tiles),
@@ -479,6 +501,7 @@ def chain_dp_forward_pallas(
             pltpu.VMEM((R, L_pad), dtype),
         ],
         interpret=interpret,
+        compiler_params=compiler_params,
     )(rc, mono_all, lens_all, dp0, sp0)
 
     end = jnp.concatenate([end0, end_rest], axis=1)[:, :W].astype(jnp.int32)
