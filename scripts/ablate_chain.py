@@ -51,17 +51,19 @@ def make_kernel(L, BT, m_pad, pos_tile, variant):
         rc_tile = rc_ref[...]
 
         n_ladder = {"ladder4": 4, "ladder2": 2}.get(variant, 8)
-        # compile-time same-group masks for the subroll segmented max
-        # (rolling a gid column per step doubled live narrow-column state
-        # and blew the 16 MB scoped-VMEM limit)
-        row_np = np.arange(R)[:, None]
-        gid_np = row_np // m_pad
-        down_mask, up_mask = {}, {}
-        s0 = 1
-        while s0 < m_pad:
-            down_mask[s0] = jnp.asarray((((row_np - s0) % R) // m_pad) == gid_np)
-            up_mask[s0] = jnp.asarray((((row_np + s0) % R) // m_pad) == gid_np)
-            s0 *= 2
+        # same-group masks for the subroll segmented max, derived from
+        # broadcasted_iota (Mosaic constant-folds iota arithmetic; a captured
+        # numpy-backed jax.Array is rejected by pallas_call as a kernel
+        # constant, and rolling a gid column per step doubled live
+        # narrow-column state and blew the 16 MB scoped-VMEM limit)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        gid_i = row_i // m_pad
+
+        def down_mask(s):
+            return (((row_i - s) % R) // m_pad) == gid_i
+
+        def up_mask(s):
+            return (((row_i + s) % R) // m_pad) == gid_i
 
         def pair_cummax_packed(t, p):
             tb = jnp.maximum(t + PACK_BIAS, 0)
@@ -90,12 +92,12 @@ def make_kernel(L, BT, m_pad, pos_tile, variant):
                 pre, suf = x, x
                 s_ = 1
                 while s_ < m_pad:
-                    pre_sh = pltpu.roll(pre, s_, 0)
-                    ok = pltpu.roll(gid, s_, 0) == gid
-                    pre = jnp.maximum(pre, jnp.where(ok, pre_sh, NEG))
-                    suf_sh = pltpu.roll(suf, R - s_, 0)
-                    ok2 = pltpu.roll(gid, R - s_, 0) == gid
-                    suf = jnp.maximum(suf, jnp.where(ok2, suf_sh, NEG))
+                    pre = jnp.maximum(
+                        pre, jnp.where(down_mask(s_), pltpu.roll(pre, s_, 0), NEG)
+                    )
+                    suf = jnp.maximum(
+                        suf, jnp.where(up_mask(s_), pltpu.roll(suf, R - s_, 0), NEG)
+                    )
                     s_ *= 2
                 return jnp.maximum(pre, suf)
             col = end_v

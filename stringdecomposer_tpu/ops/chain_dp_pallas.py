@@ -203,21 +203,22 @@ def _dp_kernel(
             s *= 2
         return tb - PACK_BIAS, p
 
-    # Compile-time same-group masks for the subroll group_max: under a
-    # circular sublane roll by s, output row r holds input row (r - s) % R,
-    # so "shifted row is in my group" is a static predicate — bake it as a
-    # numpy constant instead of rolling a gid column every step (the rolled
-    # gid comparisons doubled the live narrow-column state and pushed the
-    # kernel past the 16 MB scoped-VMEM limit at production shapes).
-    _row_np = np.arange(R)[:, None]
-    _gid_np = _row_np // m_pad
-    _down_mask = {}
-    _up_mask = {}
-    s = 1
-    while s < m_pad:
-        _down_mask[s] = jnp.asarray((((_row_np - s) % R) // m_pad) == _gid_np)
-        _up_mask[s] = jnp.asarray((((_row_np + s) % R) // m_pad) == _gid_np)
-        s *= 2
+    # Same-group masks for the subroll group_max: under a circular sublane
+    # roll by s, output row r holds input row (r - s) % R, so "shifted row is
+    # in my group" is a static predicate. Derive it from broadcasted_iota
+    # (Mosaic constant-folds iota arithmetic) rather than a captured numpy
+    # jax.Array, which pallas_call rejects as a kernel constant; and rather
+    # than rolling a gid column every step (the rolled gid comparisons
+    # doubled the live narrow-column state and pushed the kernel past the
+    # 16 MB scoped-VMEM limit at production shapes).
+    _row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    _gid = _row // m_pad
+
+    def _down_mask(s):
+        return (((_row - s) % R) // m_pad) == _gid
+
+    def _up_mask(s):
+        return (((_row + s) % R) // m_pad) == _gid
 
     def group_max(end_v):
         # per-window chain score: max over each m_pad-row group of the [R, 1]
@@ -236,10 +237,10 @@ def _dp_kernel(
             s = 1
             while s < m_pad:
                 pre = jnp.maximum(
-                    pre, jnp.where(_down_mask[s], pltpu.roll(pre, s, 0), NEG)
+                    pre, jnp.where(_down_mask(s), pltpu.roll(pre, s, 0), NEG)
                 )
                 suf = jnp.maximum(
-                    suf, jnp.where(_up_mask[s], pltpu.roll(suf, R - s, 0), NEG)
+                    suf, jnp.where(_up_mask(s), pltpu.roll(suf, R - s, 0), NEG)
                 )
                 s *= 2
             return jnp.maximum(pre, suf).astype(dtype)
