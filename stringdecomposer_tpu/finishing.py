@@ -24,7 +24,7 @@ import numpy as np
 
 from .io.fasta import Record, encode
 from .models.reliability import classify, load_coefficients
-from .ops.identity import aai_from_counts, nw_identity_batch
+from .ops.identity import nw_identity_batch
 
 
 def homo_compress(seq: str) -> str:
@@ -50,6 +50,95 @@ class FinishedBlock:
     homo_second_best_score: float
     alt: dict  # name -> score (empty in light mode)
     reliable: bool
+
+
+class Rows:
+    """Array-backed finished blocks for one read chunk.
+
+    The finishing stage keeps its results as column arrays end-to-end —
+    write_final_rows emits them through the native formatter without ever
+    creating a per-block Python object (at 20 Mbp the FinishedBlock +
+    alt-dict materialization alone cost ~1.6 s and the per-row f-strings
+    ~8 s). Iteration/indexing materializes real FinishedBlock instances, so
+    API consumers and tests see the same objects as before.
+
+    Name columns are indices: best/homo into `names` (the full interleaved
+    monomer order), second-best and the alt matrix into `uniq_names`
+    (first-occurrence unique names — the reference collapses scores into a
+    name-keyed dict, main.py:123-126). -1 encodes "None".
+    """
+
+    __slots__ = ("names", "uniq_names", "best_idx", "best_upos", "starts",
+                 "ends", "score", "sb_idx", "sb_score", "hb_idx", "hb_score",
+                 "hs_idx", "hs_score", "reliable", "alt")
+
+    def __init__(self, names, uniq_names, best_idx, best_upos, starts, ends,
+                 score, sb_idx, sb_score, hb_idx, hb_score, hs_idx, hs_score,
+                 reliable, alt):
+        self.names = names
+        self.uniq_names = uniq_names
+        self.best_idx = best_idx
+        self.best_upos = best_upos
+        self.starts = starts
+        self.ends = ends
+        self.score = score
+        self.sb_idx = sb_idx
+        self.sb_score = sb_score
+        self.hb_idx = hb_idx
+        self.hb_score = hb_score
+        self.hs_idx = hs_idx
+        self.hs_score = hs_score
+        self.reliable = reliable
+        self.alt = alt  # [n, U] float64 or None (light mode)
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def _name(self, table, idx: int) -> str:
+        return "None" if idx < 0 else table[idx]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        alt = (dict(zip(self.uniq_names, self.alt[i].tolist()))
+               if self.alt is not None else {})
+        return FinishedBlock(
+            self._name(self.names, int(self.best_idx[i])),
+            int(self.starts[i]), int(self.ends[i]), float(self.score[i]),
+            self._name(self.uniq_names, int(self.sb_idx[i])),
+            float(self.sb_score[i]),
+            self._name(self.names, int(self.hb_idx[i])), float(self.hb_score[i]),
+            self._name(self.names, int(self.hs_idx[i])), float(self.hs_score[i]),
+            alt, bool(self.reliable[i]),
+        )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    @staticmethod
+    def concat(parts: list["Rows"]) -> "Rows":
+        """Concatenate chunks of one read (same name tables)."""
+        if len(parts) == 1:
+            return parts[0]
+        first = parts[0]
+        cat = np.concatenate
+        alt = (None if first.alt is None
+               else cat([p.alt for p in parts], axis=0))
+        return Rows(
+            first.names, first.uniq_names,
+            cat([p.best_idx for p in parts]), cat([p.best_upos for p in parts]),
+            cat([p.starts for p in parts]), cat([p.ends for p in parts]),
+            cat([p.score for p in parts]),
+            cat([p.sb_idx for p in parts]), cat([p.sb_score for p in parts]),
+            cat([p.hb_idx for p in parts]), cat([p.hb_score for p in parts]),
+            cat([p.hs_idx for p in parts]), cat([p.hs_score for p in parts]),
+            cat([p.reliable for p in parts]), alt,
+        )
 
 
 def _resolve_identity_kernel():
@@ -98,6 +187,19 @@ def _batched_identity(pairs_q, pairs_t, chunk=4096, kernel=None):
     return matches, totals
 
 
+def _start_host_copy(*arrays) -> None:
+    """Kick off device->host transfers immediately after dispatch so they
+    overlap later device work instead of serializing at gather time — the
+    tunnel link here adds ~24 ms latency + ~40 MB/s per blocking gather."""
+    for a in arrays:
+        start = getattr(a, "copy_to_host_async", None)
+        if start is not None:
+            try:
+                start()
+            except Exception:  # non-jax arrays / donated buffers: gather syncs
+                pass
+
+
 def _blocks_x_monomers(
     blocks: list[np.ndarray],  # Nb encoded block substrings
     targets: list[np.ndarray],  # M encoded monomer variants
@@ -135,16 +237,21 @@ def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=4096):
         return []
     t, tl = _pad_codes(targets)
     td = jnp.asarray(t)
+    # every distinct (rows, Lq) is a compile key and a fresh Mosaic compile
+    # costs ~2 min on this host: floor Lq at 256 (real monomer blocks are
+    # ~170 bp, so per-chunk maxima jitter around one 128-boundary — the
+    # floor collapses them to ONE key; rare longer outliers still widen)
     Lq_all = max(1, max(len(b) for b in blocks))
-    Lq_all = (Lq_all + 127) // 128 * 128
+    Lq_all = max(256, (Lq_all + 127) // 128 * 128)
     bc = min(block_chunk, -(-Nb // 8) * 8)
     pending = []
     for s in range(0, Nb, bc):
         part = blocks[s : s + bc]
-        # right-size the tail chunk at 1024 granularity: padding it to the
-        # full chunk would waste up to bc-1 rows of kernel work, while the
-        # coarse granularity keeps the number of compiled shapes bounded
-        n_pad = min(bc, max(8, -(-len(part) // 1024) * 1024))
+        # right-size the tail chunk from a 3-value menu {8, 1024, bc}: full
+        # padding would waste up to bc-1 rows of kernel work, but every
+        # distinct row count is a compile key, so the menu stays tiny
+        n = len(part)
+        n_pad = min(bc, 8 if n <= 8 else 1024 if n <= 1024 else bc)
         q = np.zeros((n_pad, Lq_all), dtype=np.int8)  # pad rows: len-0 queries
         ql = np.zeros(n_pad, dtype=np.int32)
         for i, b in enumerate(part):
@@ -159,15 +266,17 @@ def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=4096):
         ts = jnp.tile(td, (n_pad, 1))
         tls = np.tile(tl, n_pad)
         _, mt, ln = kernel(qs, qls, ts, tls)
+        _start_host_copy(mt, ln)
         pending.append((s, len(part), mt, ln))
     return pending
 
 
 def _pad_codes(
-    codes: list[np.ndarray], mult: int = 128, rows: int | None = None
+    codes: list[np.ndarray], mult: int = 128, rows: int | None = None,
+    min_len: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pad to [rows, L128]; extra rows are length-0 queries (never win)."""
-    L = max(1, max((len(c) for c in codes), default=1))
+    L = max(min_len, max((len(c) for c in codes), default=1))
     L = (L + mult - 1) // mult * mult
     n = max(rows or 0, len(codes))
     arr = np.zeros((n, L), dtype=np.int8)
@@ -232,16 +341,22 @@ def finish_reads(
         out.extend(fin.drain())
     finally:
         fin.close()
-    # re-merge split reads so callers see one group per input read
-    merged: list[tuple[str, list[FinishedBlock]]] = []
+    # re-merge split reads so callers see one group per input read; chunks
+    # concatenate as arrays (Rows) so the native emitter path survives the
+    # merge — mixed/legacy parts fall back to a materialized list
+    merged: list[tuple[str, Rows | list[FinishedBlock]]] = []
     gi = 0
     for read_name, blocks in per_read_blocks:
-        fblocks: list[FinishedBlock] = []
         need = max(1, -(-max(len(blocks), 1) // max_blocks))
-        for _ in range(need):
-            fblocks.extend(out[gi][1])
-            gi += 1
-        merged.append((read_name, fblocks))
+        parts = [out[gi + k][1] for k in range(need)]
+        gi += need
+        if all(isinstance(p, Rows) for p in parts):
+            merged.append((read_name, Rows.concat(parts)))
+        else:
+            fblocks: list[FinishedBlock] = []
+            for p in parts:
+                fblocks.extend(p)
+            merged.append((read_name, fblocks))
     return merged
 
 
@@ -273,6 +388,102 @@ def _homo_codes(c: np.ndarray) -> np.ndarray:
     return c[np.concatenate(([True], c[1:] != c[:-1]))]
 
 
+class _DeviceFinishCtx:
+    """Device residency for the packed finishing path (TPU + default Pallas
+    kernel + --second-best): monomer tensors upload once, each read's codes
+    upload once (LRU-bounded) and block substrings/homo collapse/pair
+    expansion all happen on device — the per-group host->device traffic
+    drops to one [n] starts/lens vector and the device->host traffic to one
+    int16 array. See ops/identity_pallas.nw_identity_packed_both."""
+
+    MAX_READS = 8  # resident read codes (FIFO eviction)
+
+    def __init__(self, mono_codes: list[np.ndarray], homo_codes: list[np.ndarray]):
+        import jax.numpy as jnp
+
+        t_raw, tl_raw = _pad_codes(mono_codes)
+        t_homo, tl_homo = _pad_codes(homo_codes)
+        self.t_raw = jnp.asarray(t_raw)
+        self.tl_raw = tl_raw
+        self.t_homo = jnp.asarray(t_homo)
+        self.tl_homo = tl_homo
+        self._reads: dict[str, object] = {}
+
+    def read_dev(self, name: str, codes: np.ndarray):
+        import jax.numpy as jnp
+
+        dev = self._reads.get(name)
+        if dev is None:
+            while len(self._reads) >= self.MAX_READS:
+                self._reads.pop(next(iter(self._reads)))
+            dev = self._reads[name] = jnp.asarray(codes)
+        return dev
+
+
+def _dispatch_group_packed(
+    per_read_blocks: list[tuple[str, list[dict]]],
+    codes_cache: _CodesCache,
+    ctx: _DeviceFinishCtx,
+    block_chunk: int = 4096,
+) -> list[tuple]:
+    """Packed-path dispatch: one device call + one int16 result array per
+    block chunk, covering both raw and homo variants."""
+    import jax.numpy as jnp
+
+    from .ops.identity_pallas import nw_identity_packed_both
+
+    names = [rn for rn, blocks in per_read_blocks for _ in blocks]
+    starts = np.fromiter(
+        (d["start"] for _, blocks in per_read_blocks for d in blocks),
+        dtype=np.int64, count=len(names),
+    )
+    lens = np.fromiter(
+        (d["end"] - d["start"] + 1 for _, blocks in per_read_blocks for d in blocks),
+        dtype=np.int32, count=len(names),
+    )
+    group_reads = [rn for rn, blocks in per_read_blocks if blocks]
+    uniq_reads = list(dict.fromkeys(group_reads))
+    if len(uniq_reads) == 1:
+        read_dev = ctx.read_dev(uniq_reads[0], codes_cache.get(uniq_reads[0]))
+    else:
+        # multi-read group: concatenate the group's reads host-side and
+        # shift starts; uploads ~= the old substring matrices, but the homo
+        # collapse and padding still move off the host
+        offs = {}
+        parts = []
+        off = 0
+        for rn in uniq_reads:
+            c = codes_cache.get(rn)
+            offs[rn] = off
+            parts.append(c)
+            off += len(c)
+        read_dev = jnp.asarray(np.concatenate(parts) if parts else
+                               np.zeros(1, dtype=np.int8))
+        shift = np.fromiter(
+            (offs[rn] for rn, blocks in per_read_blocks for _ in blocks),
+            dtype=np.int64, count=len(names),
+        )
+        starts = starts + shift
+    Nb = len(starts)
+    pending = []
+    bc = block_chunk
+    for s in range(0, max(Nb, 1), bc):
+        part_lens = lens[s : s + bc]
+        if len(part_lens) == 0:
+            break
+        n = len(part_lens)
+        n_pad = min(bc, 8 if n <= 8 else 1024 if n <= 1024 else bc)
+        Lq = max(256, (int(part_lens.max()) + 127) // 128 * 128)
+        dev = nw_identity_packed_both(
+            read_dev, starts[s : s + bc], part_lens,
+            ctx.t_raw, ctx.tl_raw, ctx.t_homo, ctx.tl_homo,
+            n_pad=n_pad, Lq=Lq,
+        )
+        _start_host_copy(dev)
+        pending.append((s, n, dev))
+    return pending
+
+
 def _dispatch_finish_group(
     per_read_blocks: list[tuple[str, list[dict]]],
     codes_cache: _CodesCache,
@@ -281,12 +492,20 @@ def _dispatch_finish_group(
     name_to_idx: dict[str, int],
     second_best: bool,
     kernel,
+    dev_ctx: _DeviceFinishCtx | None = None,
 ) -> dict:
     """Encode one group's block substrings and QUEUE all of its identity
     device calls without gathering; the returned handle is materialized by
     _gather_finish_group. Splitting dispatch from gather lets the pipeline
     keep several groups in flight while the DP stage's batches share the
     device queue (the producer/consumer overlap)."""
+    if second_best and dev_ctx is not None:
+        n = sum(len(blocks) for _, blocks in per_read_blocks)
+        return {
+            "group": per_read_blocks, "n": n, "second_best": True,
+            "pend_packed": _dispatch_group_packed(
+                per_read_blocks, codes_cache, dev_ctx),
+        }
     subs: list[np.ndarray] = []
     homo_subs: list[np.ndarray] = []
     for read_name, blocks in per_read_blocks:
@@ -323,13 +542,15 @@ def _dispatch_pairs(pairs_q, pairs_t, kernel, chunk=4096):
     while pos < P:
         qs = pairs_q[pos : pos + chunk]
         ts = pairs_t[pos : pos + chunk]
-        # round the batch dim at 1024 granularity (mirrors the tail
-        # right-sizing in _dispatch_blocks_x_monomers): per-read dispatch
-        # would otherwise compile one kernel per distinct block count
-        n_pad = min(chunk, max(8, -(-len(qs) // 1024) * 1024))
-        q, ql = _pad_codes(qs, rows=n_pad)
-        t, tl = _pad_codes(ts, rows=n_pad)
+        # batch dim from the same tiny {8, 1024, chunk} menu as
+        # _dispatch_blocks_x_monomers: per-read dispatch would otherwise
+        # compile one kernel per distinct block count
+        n = len(qs)
+        n_pad = min(chunk, 8 if n <= 8 else 1024 if n <= 1024 else chunk)
+        q, ql = _pad_codes(qs, rows=n_pad, min_len=256)
+        t, tl = _pad_codes(ts, rows=n_pad, min_len=256)
         _, mt, ln = kernel(q.astype(np.int8), ql, t.astype(np.int8), tl)
+        _start_host_copy(mt, ln)
         pending.append((pos, len(qs), mt, ln))
         pos += len(qs)
     return pending
@@ -352,11 +573,20 @@ def _gather_finish_group(
         ln_raw = np.zeros((n, M_), dtype=np.int64)
         mt_homo = np.zeros((n, M_), dtype=np.int64)
         ln_homo = np.zeros((n, M_), dtype=np.int64)
-        for pend, mt_o, ln_o in ((pg["pend_raw"], mt_raw, ln_raw),
-                                 (pg["pend_homo"], mt_homo, ln_homo)):
-            for s, cn, mt, ln in pend:
-                mt_o[s : s + cn] = np.asarray(mt).reshape(-1, M_)[:cn]
-                ln_o[s : s + cn] = np.asarray(ln).reshape(-1, M_)[:cn]
+        if "pend_packed" in pg:
+            for s, cn, dev in pg["pend_packed"]:
+                arr = np.asarray(dev).astype(np.int64)  # [2, n_pad*M, 2]
+                for v, (mt_o, ln_o) in enumerate(((mt_raw, ln_raw),
+                                                  (mt_homo, ln_homo))):
+                    d2 = arr[v].reshape(-1, M_, 2)[:cn]
+                    ln_o[s : s + cn] = d2[..., 1]
+                    mt_o[s : s + cn] = d2[..., 1] - d2[..., 0]  # cols - D
+        else:
+            for pend, mt_o, ln_o in ((pg["pend_raw"], mt_raw, ln_raw),
+                                     (pg["pend_homo"], mt_homo, ln_homo)):
+                for s, cn, mt, ln in pend:
+                    mt_o[s : s + cn] = np.asarray(mt).reshape(-1, M_)[:cn]
+                    ln_o[s : s + cn] = np.asarray(ln).reshape(-1, M_)[:cn]
     else:
         matches = np.zeros(n, dtype=np.int64)
         totals = np.zeros(n, dtype=np.int64)
@@ -406,7 +636,22 @@ def _assemble_group(
     # returns the FIRST max (== "first strict improvement wins",
     # main.py:131-135), stable argsort == the reference's stable sort on
     # -score (main.py:142).
-    out: list[tuple[str, list[FinishedBlock]]] = []
+    out: list[tuple[str, Rows]] = []
+    # first-occurrence unique names + last-occurrence column per name: the
+    # reference collapses the score list into a name-keyed dict
+    # (main.py:123-126), so with duplicate monomer names the LAST
+    # occurrence's score represents the name, every column carrying the best
+    # block's name is excluded from second-best, and tie-breaking order is
+    # the FIRST-occurrence order of names (dict insertion order). With a
+    # single distinct name the reference keeps (None, -1) — never -inf
+    # (round-2 advisor finding).
+    uniq_names: list[str] = []
+    upos: dict[str, int] = {}
+    for nm in mono_names:
+        if nm not in upos:
+            upos[nm] = len(uniq_names)
+            uniq_names.append(nm)
+    U = len(uniq_names)
     if second_best:
         Nb = mt_raw.shape[0]
         with np.errstate(invalid="ignore"):
@@ -416,85 +661,78 @@ def _assemble_group(
                                (mt_homo.astype(np.float64) / ln_homo) * 100.0)
         best_idx_all = np.fromiter(
             (name_to_idx[d["m"]] for _, blocks in per_read_blocks for d in blocks),
-            dtype=np.int64, count=Nb,
+            dtype=np.int32, count=Nb,
+        )
+        best_upos_all = np.fromiter(
+            (upos[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+            dtype=np.int32, count=Nb,
         )
         rows = np.arange(Nb)
         best_score_all = sc_all[rows, best_idx_all] if Nb else np.zeros(0)
-        # second best over NAMES, not columns: the reference collapses the
-        # score list into a name-keyed dict (main.py:123-126), so with
-        # duplicate monomer names the LAST occurrence's score represents the
-        # name, every column carrying the best block's name is excluded, and
-        # tie-breaking order is the FIRST-occurrence order of names (dict
-        # insertion order). With a single distinct name the reference keeps
-        # (None, -1) — never -inf (round-2 advisor finding).
-        uniq_names: list[str] = []
-        upos: dict[str, int] = {}
-        for nm in mono_names:
-            if nm not in upos:
-                upos[nm] = len(uniq_names)
-                uniq_names.append(nm)
-        last_col = np.zeros(len(uniq_names), dtype=np.int64)
+        last_col = np.zeros(U, dtype=np.int64)
         for j, nm in enumerate(mono_names):
             last_col[upos[nm]] = j
-        U = len(uniq_names)
+        alt_all = sc_all[:, last_col]  # name-collapsed [Nb, U] (alt rows)
         if Nb and U > 1:
-            sc_names = sc_all[:, last_col]
-            best_upos_all = np.fromiter(
-                (upos[d["m"]] for _, blocks in per_read_blocks for d in blocks),
-                dtype=np.int64, count=Nb,
-            )
-            masked = sc_names.copy()
+            masked = alt_all.copy()
             masked[rows, best_upos_all] = -np.inf
-            sb_u = masked.argmax(axis=1)  # first max == reference's strict <
-            sb_name_all = [uniq_names[u] for u in sb_u]
-            sb_score_all = masked[rows, sb_u]
+            sb_idx_all = masked.argmax(axis=1).astype(np.int32)  # first max
+            sb_score_all = masked[rows, sb_idx_all]
         else:
-            sb_name_all = ["None"] * Nb
+            sb_idx_all = np.full(Nb, -1, dtype=np.int32)
             sb_score_all = np.full(Nb, -1.0)
         # homopolymer ranking: stable argsort on -score, top-2 columns
-        horder = np.argsort(-hsc_all, axis=1, kind="stable") if Nb else None
-
+        if Nb:
+            horder = np.argsort(-hsc_all, axis=1, kind="stable")
+            hb_idx_all = horder[:, 0].astype(np.int32)
+            hb_score_all = hsc_all[rows, hb_idx_all]
+            if M > 1:
+                hs_idx_all = horder[:, 1].astype(np.int32)
+                hs_score_all = hsc_all[rows, hs_idx_all]
+            else:
+                # a single-column batch has no homo runner-up; the reference
+                # cannot reach this (RC doubling makes M >= 2)
+                hs_idx_all = np.full(Nb, -1, dtype=np.int32)
+                hs_score_all = np.full(Nb, -1.0)
+        else:
+            hb_idx_all = hs_idx_all = np.zeros(0, dtype=np.int32)
+            hb_score_all = hs_score_all = np.zeros(0)
+    else:
+        Nb = len(matches)
+        with np.errstate(invalid="ignore"):
+            best_score_all = np.where(
+                totals == 0, 0.0, (matches.astype(np.float64) / totals) * 100.0
+            )
+        best_idx_all = np.fromiter(
+            (name_to_idx[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+            dtype=np.int32, count=Nb,
+        )
+        best_upos_all = np.full(Nb, -1, dtype=np.int32)
+        sb_idx_all = hb_idx_all = hs_idx_all = np.full(Nb, -1, dtype=np.int32)
+        sb_score_all = hb_score_all = hs_score_all = np.full(Nb, -1.0)
+        alt_all = None
+    starts_all = np.fromiter(
+        (d["start"] for _, blocks in per_read_blocks for d in blocks),
+        dtype=np.int64, count=Nb,
+    )
+    ends_all = np.fromiter(
+        (d["end"] for _, blocks in per_read_blocks for d in blocks),
+        dtype=np.int64, count=Nb,
+    )
+    # reliability flags (main.py:149) — row-wise, so one group-level call
+    reliable_all = classify(best_score_all, sb_score_all, coef)
     bi = 0
     for read_name, blocks in per_read_blocks:
-        fblocks: list[FinishedBlock] = []
-        for d in blocks:
-            if not second_best:
-                score = aai_from_counts(matches[bi], totals[bi])
-                fblocks.append(
-                    FinishedBlock(
-                        d["m"], d["start"], d["end"], score,
-                        "None", -1, "None", -1, "None", -1, {}, True,
-                    )
-                )
-            else:
-                h0 = horder[bi, 0]
-                if M > 1:
-                    h1 = horder[bi, 1]
-                    homo2 = (mono_names[h1], hsc_all[bi, h1])
-                else:
-                    # a single-column batch has no homo runner-up; the
-                    # reference cannot reach this (RC doubling makes M >= 2)
-                    homo2 = ("None", -1)
-                fblocks.append(
-                    FinishedBlock(
-                        d["m"], d["start"], d["end"], best_score_all[bi],
-                        sb_name_all[bi], sb_score_all[bi],
-                        mono_names[h0], hsc_all[bi, h0],
-                        homo2[0], homo2[1],
-                        dict(zip(mono_names, sc_all[bi])),
-                        True,
-                    )
-                )
-            bi += 1
-        # reliability flags for the whole read at once (main.py:149)
-        ok = classify(
-            np.array([b.score for b in fblocks]),
-            np.array([b.second_best_score for b in fblocks]),
-            coef,
-        )
-        for b, good in zip(fblocks, ok):
-            b.reliable = bool(good)
-        out.append((read_name, fblocks))
+        n = len(blocks)
+        s = slice(bi, bi + n)
+        out.append((read_name, Rows(
+            mono_names, uniq_names,
+            best_idx_all[s], best_upos_all[s], starts_all[s], ends_all[s],
+            best_score_all[s], sb_idx_all[s], sb_score_all[s],
+            hb_idx_all[s], hb_score_all[s], hs_idx_all[s], hs_score_all[s],
+            reliable_all[s], alt_all[s] if alt_all is not None else None,
+        )))
+        bi += n
     return out
 
 
@@ -528,6 +766,24 @@ class AsyncFinisher:
         self.second_best = second_best
         self.kernel = kernel or _resolve_identity_kernel()
         self.max_inflight = max_inflight
+        # packed device path: only for the stock Pallas kernel on real
+        # hardware (custom kernels keep the generic pair contract);
+        # SDTPU_PACKED_FINISH=0 forces the generic path for A/B
+        self.dev_ctx = None
+        import os as _os
+
+        if second_best and _os.environ.get("SDTPU_PACKED_FINISH", "1") != "0":
+            try:
+                import jax
+
+                from .ops.identity_pallas import nw_identity_batch_pallas
+
+                if (jax.default_backend() != "cpu"
+                        and self.kernel is nw_identity_batch_pallas):
+                    self.dev_ctx = _DeviceFinishCtx(self.mono_codes,
+                                                    self.homo_codes)
+            except Exception:
+                self.dev_ctx = None
         self.pool = None
         if threads and threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -541,6 +797,7 @@ class AsyncFinisher:
         return _dispatch_finish_group(
             group, self.codes, self.mono_codes, self.homo_codes,
             self.name_to_idx, self.second_best, self.kernel,
+            dev_ctx=self.dev_ctx,
         )
 
     def submit_group(self, group: list[tuple[str, list[dict]]]):
@@ -602,12 +859,15 @@ def write_final_tsv(
 def write_final_rows(fout, falt, finished, identity_th: int = 0) -> None:
     """Row emission shared by the one-shot and streaming runners.
 
-    Identity percentages are m/L*100 ratios, so across a whole assembly only
-    a few thousand distinct doubles occur (~11k per 500k blocks measured);
-    memoizing their "{:.2f}" strings cuts the dominant per-row format cost
-    (the alt file carries M rows per block) without touching output bytes.
-    Rows buffer per read and write once: one fout.write per block is
-    measurable file-object overhead at 20 Mbp scale."""
+    Array-backed groups (Rows) emit through the native C++ formatter —
+    integer/score-to-text conversion is the dominant host cost at assembly
+    scale (the alt file carries U rows per block); both glibc snprintf and
+    CPython produce the correctly-rounded decimal for "%.2f"/"{:.2f}", so
+    the bytes are identical (asserted by tests/test_native.py). Fallbacks:
+    object-block groups, or a missing native library, take the Python path
+    below, whose "{:.2f}" memoization still wins ~2x (identity percentages
+    are m/L*100 ratios — only a few thousand distinct doubles per assembly).
+    """
     memo: dict[float, str] = {}
 
     def f2(x) -> str:
@@ -618,6 +878,20 @@ def write_final_rows(fout, falt, finished, identity_th: int = 0) -> None:
         return s
 
     for read_name, blocks in finished:
+        if isinstance(blocks, Rows) and len(blocks):
+            from .runtime.native import format_final_native
+
+            res = format_final_native(
+                read_name, blocks.names, blocks.uniq_names, blocks.best_idx,
+                blocks.best_upos, blocks.starts, blocks.ends, blocks.score,
+                blocks.sb_idx, blocks.sb_score, blocks.hb_idx, blocks.hb_score,
+                blocks.hs_idx, blocks.hs_score, blocks.reliable, blocks.alt,
+                identity_th,
+            )
+            if res is not None:
+                fout.write(res[0].decode("utf-8"))
+                falt.write(res[1].decode("utf-8"))
+                continue
         rows: list[str] = []
         alt_rows: list[str] = []
         for b in blocks:

@@ -152,10 +152,11 @@ def nw_identity_batch_pallas(
     # and can never contaminate a real cell. The systolic buffer shares the
     # lane array, so L must also hold the longest target (+4 packing slack).
     L = _round_up(max(max_q + 2, max_t + 4), 128)
-    # 64-granularity bounds compiled variants (per-chunk max lengths jitter
-    # by a few bases; a 4-granular n_steps would recompile the kernel for
-    # nearly every chunk) while keeping most of the fewer-steps win
-    n_steps = _round_up(max(max_q + max_t, 1), 64)
+    # COARSE 128-granularity: n_steps is a compile key, and a fresh Mosaic
+    # compile costs ~2 min through this host — the persistent compile cache
+    # amortizes the small key menu while the finishing mix keeps a near-
+    # tight wavefront (the sweep cost is linear in n_steps).
+    n_steps = _round_up(max(max_q + max_t, 1), 128)
     if n_steps + 1 >= FMAX:
         from .identity import nw_identity_batch
 
@@ -166,8 +167,103 @@ def nw_identity_batch_pallas(
     )
 
 
+def nw_identity_packed_both(
+    read_dev,  # [N] int8 device codes (uploaded once per read)
+    starts,    # np [n] block starts (into read_dev)
+    lens,      # np [n] block lengths (end - start + 1)
+    t_raw_dev,  # [M, Lt] device monomer codes (raw)
+    tl_raw,    # np [M] int32
+    t_homo_dev,  # [M, Lt_h] device monomer codes (homopolymer-compressed)
+    tl_homo,   # np [M] int32
+    n_pad: int,
+    Lq: int,
+) -> jnp.ndarray:
+    """Device-side finishing dispatch: extracts the n block substrings from
+    the resident read, homopolymer-compresses them ON DEVICE, expands the
+    (block x monomer) cross product for both variants, and returns ONE
+    packed [2, n_pad * M, 2] int16 array of (D, columns) per (variant,
+    pair) — the only device->host transfer of the whole group (the host
+    previously uploaded ~2 MB of substring/homo matrices per 4096-block
+    group and gathered four int32 arrays; at assembly scale both directions
+    ride a ~40 MB/s link). matches = columns - D. Replaces the per-block
+    convert_read slicing of the reference (main.py:124-142).
+
+    n_pad (row menu) and Lq (>= max block length, 128-multiple) are the
+    caller's canonical compile keys; wavefront sizes derive from the true
+    data maxima. Homo lens are only known on device, so the homo sweep uses
+    the raw-length bound (collapse never lengthens a sequence)."""
+    max_len = int(np.asarray(lens).max()) if len(lens) else 1
+    mt_raw = int(np.asarray(tl_raw).max()) if len(tl_raw) else 0
+    mt_homo = int(np.asarray(tl_homo).max()) if len(tl_homo) else 0
+    L_raw = _round_up(max(max_len + 2, mt_raw + 4, 1), 128)
+    L_homo = _round_up(max(max_len + 2, mt_homo + 4, 1), 128)
+    ns_raw = _round_up(max(max_len + mt_raw, 1), 128)
+    ns_homo = _round_up(max(max_len + mt_homo, 1), 128)
+    starts_np = np.zeros(n_pad, dtype=np.int32)
+    lens_np = np.zeros(n_pad, dtype=np.int32)
+    starts_np[: len(starts)] = starts
+    lens_np[: len(lens)] = lens
+    return _nw_from_read_both_jit(
+        read_dev, jnp.asarray(starts_np), jnp.asarray(lens_np),
+        t_raw_dev, jnp.asarray(np.asarray(tl_raw, dtype=np.int32)),
+        t_homo_dev, jnp.asarray(np.asarray(tl_homo, dtype=np.int32)),
+        Lq=Lq, L_raw=L_raw, L_homo=L_homo, ns_raw=ns_raw, ns_homo=ns_homo,
+    )
+
+
+def _blocks_from_read(read_dev, starts, lens, Lq):
+    """[n_pad, Lq] int32 block substrings gathered from the resident read."""
+    lane = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(starts[:, None] + lane, 0, read_dev.shape[0] - 1)
+    return jnp.where(lane < lens[:, None], read_dev[idx].astype(jnp.int32), 7)
+
+
+def _homo_collapse(q, lens, Lq):
+    """Run-collapse rows on device: keep first lane + change points, then a
+    stable argsort on (dropped, lane) compacts kept chars to the front."""
+    lane = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    prev = jnp.roll(q, 1, axis=1)
+    keep = ((lane == 0) | (q != prev)) & (lane < lens[:, None])
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    qh = jnp.take_along_axis(q, order, axis=1)
+    hlens = keep.sum(axis=1).astype(jnp.int32)
+    return jnp.where(lane < hlens[:, None], qh, 7), hlens
+
+
+def _cross_product_core(q, lens, targets, t_lens, L, n_steps):
+    """(block x monomer) pair expansion + wavefront: [n_pad * M, 2] int32."""
+    n_pad = q.shape[0]
+    M = targets.shape[0]
+    qs = jnp.repeat(q, M, axis=0)
+    qls = jnp.repeat(lens, M)
+    ts = jnp.tile(targets.astype(jnp.int32), (n_pad, 1))
+    tls = jnp.tile(t_lens, n_pad)
+    return _nw_wave_core(qs, qls, ts, tls, pair_tile=PAIR_TILE, L=L,
+                         n_steps=n_steps)
+
+
+@partial(jax.jit, static_argnames=("Lq", "L_raw", "L_homo", "ns_raw", "ns_homo"))
+def _nw_from_read_both_jit(read_dev, starts, lens, t_raw, tl_raw, t_homo,
+                           tl_homo, Lq, L_raw, L_homo, ns_raw, ns_homo):
+    q = _blocks_from_read(read_dev, starts, lens, Lq)
+    raw = _cross_product_core(q, lens, t_raw, tl_raw, L_raw, ns_raw)
+    qh, hlens = _homo_collapse(q, lens, Lq)
+    homo = _cross_product_core(qh, hlens, t_homo, tl_homo, L_homo, ns_homo)
+    # (D, columns) both <= 8191: one int16 transfer for the whole group
+    return jnp.stack([raw, homo]).astype(jnp.int16)
+
+
 @partial(jax.jit, static_argnames=("pair_tile", "L", "n_steps"))
 def _nw_wave_jit(q, q_lens, t, t_lens, pair_tile, L, n_steps):
+    out2 = _nw_wave_core(q, q_lens, t, t_lens, pair_tile=pair_tile, L=L,
+                         n_steps=n_steps)
+    D = out2[:, 0]
+    Ln = out2[:, 1]
+    return D, Ln - D, Ln
+
+
+def _nw_wave_core(q, q_lens, t, t_lens, pair_tile, L, n_steps):
+    """Traceable core: returns [P, 2] int32 (D, columns) per pair."""
     P, Lq = q.shape
     _, Lt = t.shape
     # VMEM budget: ~6 carried [R, L] arrays + inputs, keep under ~8 MB
@@ -208,6 +304,4 @@ def _nw_wave_jit(q, q_lens, t, t_lens, pair_tile, L, n_steps):
         out_shape=jax.ShapeDtypeStruct((P_pad, 8), jnp.int32),
         interpret=interpret,
     )(qv, tb, ql[:, None], (ql + tl)[:, None])
-    D = out[:P, 0]
-    Ln = out[:P, 1]
-    return D, Ln - D, Ln
+    return out[:P, :2]

@@ -202,9 +202,13 @@ def decompose_stream(
             for s in range(0, len(order), B):
                 tidxs = order[s : s + B]
                 batch = [tasks[ti_] for ti_ in tidxs]
-                # right-size the tail batch (granularity 24 = one kernel
-                # window group): a single-read job runs 24 window slots, not B
-                B_eff = min(B, -(-len(tidxs) // 24) * 24)
+                # right-size the tail batch from a tiny menu {24, 48, B}:
+                # a single-read job runs 24 window slots, not B, but every
+                # distinct batch size is a kernel compile key (~2 min per
+                # fresh Mosaic compile on this host), so a mid-size tail
+                # pads to the bulk shape instead of minting a new one
+                n_w = len(tidxs)
+                B_eff = min(B, 24 if n_w <= 24 else 48 if n_w <= 48 else B)
                 wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
                 while len(wins) < B_eff:  # pad to the static shape
                     wins.append(wins[-1])
@@ -242,6 +246,15 @@ def decompose_stream(
                 def redo(wb_=wbatch, wl_=wlens, fm=fwd_mono, fl=fwd_lens, kw_=kw):
                     return forward_fn(wb_, wl_, fm, fl, **kw_)
 
+                for a in (blocks_dev, counts_dev):
+                    # start the device->host copy now so it overlaps later
+                    # batches' compute instead of serializing at drain time
+                    start = getattr(a, "copy_to_host_async", None)
+                    if start is not None:
+                        try:
+                            start()
+                        except Exception:
+                            pass
                 inflight.append((tidxs, blocks_dev, counts_dev, perms, redo))
                 drain(one=True)
                 yield from emit_ready()
@@ -311,8 +324,8 @@ def _pump_reads(
             cur_ridx, prev_end = ridx, 0
         name = reads[ridx].name
         if blocks:
-            for row in format_raw_rows(name, blocks, dp_names, prev_end=prev_end):
-                fraw.write(row + "\n")
+            rows = format_raw_rows(name, blocks, dp_names, prev_end=prev_end)
+            fraw.write("\n".join(rows) + "\n")  # one write per chunk
             prev_end = blocks[-1].end
             n_blocks += len(blocks)
             pend.extend(
@@ -557,8 +570,9 @@ def _run_streaming(
             result = decompose_reads(group, monomers_dp, cfg, forward_fn=forward_fn)
             per_read_raw = []
             for rname, blocks in result:
-                for row in format_raw_rows(rname, blocks, dp_names):
-                    fraw.write(row + "\n")
+                rows = format_raw_rows(rname, blocks, dp_names)
+                if rows:
+                    fraw.write("\n".join(rows) + "\n")
                 per_read_raw.append(
                     (rname.split()[0],
                      [{"m": dp_names[b.monomer].split()[0],

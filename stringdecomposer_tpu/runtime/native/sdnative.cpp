@@ -116,4 +116,160 @@ int64_t sd_format_raw(
     return w;
 }
 
+// Format the final 12-column + alt 5-column TSV rows for one read chunk
+// (reference main.py:153-165). Scores print like Python "{:.2f}" — both
+// glibc snprintf and CPython emit the correctly-rounded decimal conversion
+// of the IEEE double, so the bytes agree (parity asserted by
+// tests/test_native.py). Name columns arrive as indices into two
+// concatenated name tables: `names` (full interleaved monomer order, used
+// by the monomer/homo columns) and `uniq` (first-occurrence unique names,
+// used by second-best and the alt rows — the reference collapses scores
+// into a name-keyed dict, main.py:123-126). idx < 0 prints "None".
+// alt: [n, U] row-major scores or NULL (light mode: no alt rows).
+// Returns final bytes written, sets *alt_written; -1 on overflow.
+static inline int64_t put_name(char* out, int64_t w, const char* buf,
+                               const int64_t* off, int32_t idx) {
+    if (idx < 0) {
+        memcpy(out + w, "None", 4);
+        return w + 4;
+    }
+    int64_t len = off[idx + 1] - off[idx];
+    memcpy(out + w, buf + off[idx], len);
+    return w + len;
+}
+
+static inline int64_t put_u64(char* out, int64_t w, long long v) {
+    if (v < 0) {  // block coordinates are never negative; keep it total anyway
+        out[w++] = '-';
+        v = -v;
+    }
+    char tmp[24];
+    int k = 0;
+    do {
+        tmp[k++] = (char)('0' + v % 10);
+        v /= 10;
+    } while (v);
+    while (k) out[w++] = tmp[--k];
+    return w;
+}
+
+// Memoized "%.2f" strings: identity percentages are m/L*100 ratios, so a
+// whole assembly has only a few thousand distinct doubles — cache the
+// snprintf result per double bit pattern (open addressing, power-of-two
+// table). snprintf itself is the correctly-rounded conversion (same bytes
+// as CPython's "{:.2f}"); the memo only skips repeated conversions.
+struct ScoreMemo {
+    static const int LOG2 = 15;           // 32768 slots
+    uint64_t key[1 << LOG2];
+    uint8_t len[1 << LOG2];
+    char str[1 << LOG2][24];
+    uint8_t used[1 << LOG2];
+    ScoreMemo() { memset(used, 0, sizeof(used)); }
+    int64_t put(char* out, int64_t w, double v) {
+        uint64_t bits;
+        memcpy(&bits, &v, 8);
+        uint64_t h = (bits * 0x9E3779B97F4A7C15ull) >> (64 - LOG2);
+        for (int probe = 0; probe < 8; ++probe) {
+            uint64_t slot = (h + probe) & ((1 << LOG2) - 1);
+            if (!used[slot]) {
+                used[slot] = 1;
+                key[slot] = bits;
+                len[slot] = (uint8_t)snprintf(str[slot], 24, "%.2f", v);
+                memcpy(out + w, str[slot], len[slot]);
+                return w + len[slot];
+            }
+            if (key[slot] == bits) {
+                memcpy(out + w, str[slot], len[slot]);
+                return w + len[slot];
+            }
+        }
+        return w + snprintf(out + w, 32, "%.2f", v);  // table pressure: direct
+    }
+};
+
+int64_t sd_format_final(
+    int64_t n,
+    const char* read_name, int64_t read_name_len,
+    const char* names_buf, const int64_t* names_off,   // full monomer order
+    const char* uniq_buf, const int64_t* uniq_off,     // unique names
+    int64_t n_uniq,
+    const int32_t* best_idx,   // [n] into names (monomer column)
+    const int32_t* best_upos,  // [n] into uniq (star column of alt rows)
+    const int64_t* starts, const int64_t* ends,        // [n]
+    const double* score,                               // [n]
+    const int32_t* sb_idx, const double* sb_score,     // [n] into uniq
+    const int32_t* hb_idx, const double* hb_score,     // [n] into names
+    const int32_t* hs_idx, const double* hs_score,     // [n] into names
+    const uint8_t* reliable,                           // [n]
+    const double* alt,                                 // [n*n_uniq] or NULL
+    double identity_th,
+    char* out, int64_t out_cap,
+    char* alt_out, int64_t alt_cap, int64_t* alt_written) {
+    int64_t w = 0, aw = 0;
+    // every name in the full table also appears in the unique table, so the
+    // max unique-name length bounds all four name columns
+    int64_t max_nm = 4;  // "None"
+    for (int64_t u = 0; u < n_uniq; ++u) {
+        int64_t len = uniq_off[u + 1] - uniq_off[u];
+        if (len > max_nm) max_nm = len;
+    }
+    const int64_t row_pad = 256 + 4 * max_nm;
+    static thread_local ScoreMemo memo;
+    for (int64_t b = 0; b < n; ++b) {
+        if (!(score[b] >= identity_th)) continue;
+        if (w + read_name_len + row_pad > out_cap) return -1;
+        memcpy(out + w, read_name, read_name_len);
+        w += read_name_len;
+        out[w++] = '\t';
+        w = put_name(out, w, names_buf, names_off, best_idx[b]);
+        out[w++] = '\t';
+        w = put_u64(out, w, (long long)starts[b]);
+        out[w++] = '\t';
+        w = put_u64(out, w, (long long)ends[b]);
+        out[w++] = '\t';
+        w = memo.put(out, w, score[b]);
+        out[w++] = '\t';
+        w = put_name(out, w, uniq_buf, uniq_off, sb_idx[b]);
+        out[w++] = '\t';
+        w = memo.put(out, w, sb_score[b]);
+        out[w++] = '\t';
+        w = put_name(out, w, names_buf, names_off, hb_idx[b]);
+        out[w++] = '\t';
+        w = memo.put(out, w, hb_score[b]);
+        out[w++] = '\t';
+        w = put_name(out, w, names_buf, names_off, hs_idx[b]);
+        out[w++] = '\t';
+        w = memo.put(out, w, hs_score[b]);
+        out[w++] = '\t';
+        out[w++] = reliable[b] ? '+' : '?';
+        out[w++] = '\n';
+        if (alt != nullptr) {
+            // per-block constant prefix pieces, formatted once
+            char se[64];
+            int64_t se_len = 0;
+            se[se_len++] = '\t';
+            se_len = put_u64(se, se_len, (long long)starts[b]);
+            se[se_len++] = '\t';
+            se_len = put_u64(se, se_len, (long long)ends[b]);
+            se[se_len++] = '\t';
+            const double* row = alt + b * n_uniq;
+            for (int64_t u = 0; u < n_uniq; ++u) {
+                if (aw + read_name_len + max_nm + 256 > alt_cap) return -1;
+                memcpy(alt_out + aw, read_name, read_name_len);
+                aw += read_name_len;
+                alt_out[aw++] = '\t';
+                aw = put_name(alt_out, aw, uniq_buf, uniq_off, (int32_t)u);
+                memcpy(alt_out + aw, se, se_len);
+                aw += se_len;
+                aw = memo.put(alt_out, aw, row[u]);
+                alt_out[aw++] = '\t';
+                alt_out[aw++] = u == best_upos[b] ? '*' : '-';
+                alt_out[aw++] = '\n';
+            }
+        }
+    }
+    *alt_written = aw;
+    return w;
+}
+
 }  // extern "C"

@@ -57,3 +57,48 @@ def test_postprocess_and_format_native(random_cases):
             rows_py.extend(format_raw_rows(rname, want_keep, names))
         assert rows_native.decode() == "".join(r + "\n" for r in rows_py)
         assert rows_native.decode() == case["raw"]
+
+
+def test_format_final_native_matches_python():
+    """Native sd_format_final vs the Python emitter: randomized groups with
+    duplicate names, "None" sentinels, identity thresholds, and an exact
+    decimal-tie score sweep (m/L*100 doubles whose third decimal digit is an
+    exact 5, e.g. 31/32*100 = 96.875 — both glibc %.2f and Python "{:.2f}"
+    must round them half-even identically)."""
+    import io
+
+    from stringdecomposer_tpu.finishing import Rows, write_final_rows
+
+    rng = np.random.default_rng(7)
+    names = ["m1", "m2", "m1", "a_longer_name", "m3'"]
+    uniq = ["m1", "m2", "a_longer_name", "m3'"]
+    upos = {n: i for i, n in enumerate(uniq)}
+    # score pool: random ratios + exact-tie doubles + sentinels
+    ties = [31 / 32 * 100.0, 1 / 8 * 100.0, 7 / 64 * 100.0, 96.875, 0.125]
+    pool = np.concatenate([
+        (rng.integers(0, 200, 64) / rng.integers(1, 200, 64)) * 100.0,
+        np.array(ties), np.array([0.0, -1.0, 100.0]),
+    ])
+    for th in (0, 60):
+        n = 40
+        best_idx = rng.integers(0, len(names), n).astype(np.int32)
+        rows = Rows(
+            names, uniq,
+            best_idx,
+            np.array([upos[names[i]] for i in best_idx], np.int32),
+            rng.integers(0, 10**7, n).astype(np.int64),
+            rng.integers(0, 10**7, n).astype(np.int64),
+            rng.choice(pool, n),
+            rng.integers(-1, len(uniq), n).astype(np.int32), rng.choice(pool, n),
+            rng.integers(0, len(names), n).astype(np.int32), rng.choice(pool, n),
+            rng.integers(-1, len(names), n).astype(np.int32), rng.choice(pool, n),
+            rng.integers(0, 2, n).astype(bool),
+            rng.choice(pool, (n, len(uniq))),
+        )
+        fn, an = io.StringIO(), io.StringIO()
+        write_final_rows(fn, an, [("readX", rows)], identity_th=th)
+        fp, ap = io.StringIO(), io.StringIO()
+        write_final_rows(fp, ap, [("readX", list(rows))], identity_th=th)
+        assert fn.getvalue() == fp.getvalue()
+        assert an.getvalue() == ap.getvalue()
+        assert fn.getvalue()  # non-empty: the sweep actually exercised rows
