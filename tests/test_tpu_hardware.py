@@ -153,3 +153,49 @@ def test_banded_and_semi_kernels_on_hardware(tmp_path):
     r = _run([str(script)], timeout=1500.0)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "K3-HW-OK" in r.stdout
+
+
+def test_packed_finishing_parity_on_hardware(tmp_path):
+    """The device-resident packed finishing path (on-device substring
+    gather + homo collapse + one int16 transfer per chunk) must be
+    byte-identical to the generic pair path on real hardware, including on
+    multi-read groups (the concatenated-read branch)."""
+    script = tmp_path / "packed_parity.py"
+    script.write_text(
+        """
+import io, os, sys
+sys.path.insert(0, %r)
+import numpy as np
+from stringdecomposer_tpu.io.fasta import load_fasta, add_rc_interleaved
+from stringdecomposer_tpu.finishing import finish_reads, write_final_rows
+from stringdecomposer_tpu.report import parse_raw_tsv
+
+data = os.path.join(%r, "stringdecomposer_tpu", "test_data")
+monomers = add_rc_interleaved(
+    load_fasta(os.path.join(data, "DXZ1_star_monomers.fa"), upper=True))
+reads = {r.name: r.seq.upper()
+         for r in load_fasta(os.path.join(data, "read.fa"), upper=True)}
+per_read = parse_raw_tsv(
+    open(os.path.join(data, "raw_decomposition_oracle.tsv")).read())
+# multi-read group case: split the read's blocks over three aliases
+name, blocks = per_read[0]
+reads2 = {f"r{i}": reads[name] for i in range(3)}
+per_read_multi = [(f"r{i}", blocks[i::3]) for i in range(3)]
+
+def emit(pr, rd):
+    fin = finish_reads(pr, rd, monomers, second_best=True)
+    fo, fa = io.StringIO(), io.StringIO()
+    write_final_rows(fo, fa, fin)
+    return fo.getvalue() + chr(0) + fa.getvalue()
+
+for pr, rd in ((per_read, reads), (per_read_multi, reads2)):
+    os.environ["SDTPU_PACKED_FINISH"] = "1"
+    a = emit(pr, rd)
+    os.environ["SDTPU_PACKED_FINISH"] = "0"
+    b = emit(pr, rd)
+    assert a == b, "packed path diverged from generic"
+print("PACKED PARITY OK")
+""" % (REPO, REPO))
+    r = _run([str(script)])
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "PACKED PARITY OK" in r.stdout
