@@ -82,8 +82,11 @@ def main() -> int:
     # correctness gate 2 + e2e throughput: the OVERLAPPED pipeline
     # (pipeline.run streams raw rows as windows finalize and interleaves the
     # finishing stage's identity batches with later windows' DP on the device
-    # queue). Gate: golden final TSV on the CHM13 read; throughput: warm run
-    # on a 1.6 Mbp synthetic centromere assembly.
+    # queue). Gate: golden final TSV on the CHM13 read; throughput: warm
+    # MEDIAN-OF-3 runs on 1.6 Mbp and 20 Mbp synthetic assemblies, BOTH at
+    # the same thread setting (-t 1; round-4 verdict weak #4) and both
+    # warm-run first (round 4's 20 Mbp leg silently paid cold tail-shape
+    # compiles inside the timed region).
     import tempfile
 
     from stringdecomposer_tpu.pipeline import run as pipeline_run
@@ -105,39 +108,54 @@ def main() -> int:
     sys.path.insert(0, os.path.join(here, "scripts"))
     import numpy as np
     from scale_smoke import synthesize
+    from stringdecomposer_tpu.utils import stagetimer
 
     monomers_fwd = load_fasta(os.path.join(data, "DXZ1_star_monomers.fa"))
-    asm = synthesize(1_600_000, monomers_fwd, np.random.default_rng(0))
-    with tempfile.TemporaryDirectory() as td:
-        asm_fa = os.path.join(td, "asm.fa")
-        with open(asm_fa, "w") as f:
-            f.write(">asm\n" + asm + "\n")
-        mono_fa = os.path.join(data, "DXZ1_star_monomers.fa")
-        pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "w"),
-                     second_best=True, device_batch=152)  # warm
-        t0 = time.perf_counter()
-        final = pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "t"),
-                             second_best=True, device_batch=152)
-        dt_e2e = time.perf_counter() - t0
-        with open(final) as f:
-            n_e2e = sum(1 for _ in f)
-    e2e_assign_per_s = n_e2e / dt_e2e
+    mono_fa = os.path.join(data, "DXZ1_star_monomers.fa")
 
-    # sustained scale: one 20 Mbp assembly read, streamed (bounded RSS), all
-    # shapes already warm from the 1.6 Mbp run — the e2e-vs-DP gap must hold
-    # at flowcell scale, not just at the small point (round-2 verdict item 2)
-    asm20 = synthesize(20_000_000, monomers_fwd, np.random.default_rng(1))
-    with tempfile.TemporaryDirectory() as td:
-        asm_fa = os.path.join(td, "asm20.fa")
-        with open(asm_fa, "w") as f:
-            f.write(">asm20\n" + asm20 + "\n")
-        t0 = time.perf_counter()
-        final = pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "t"),
-                             second_best=True, device_batch=152, threads=4)
-        dt_20 = time.perf_counter() - t0
-        with open(final) as f:
-            n_20 = sum(1 for _ in f)
-    e2e_20m_per_s = n_20 / dt_20
+    def e2e_point(n_bp: int, seed: int, timed_reps: int = 3):
+        """Median warm e2e (rows, rows/s) + a stage split of the last rep."""
+        asm = synthesize(n_bp, monomers_fwd, np.random.default_rng(seed))
+        with tempfile.TemporaryDirectory() as td:
+            asm_fa = os.path.join(td, "asm.fa")
+            with open(asm_fa, "w") as f:
+                f.write(">asm\n" + asm + "\n")
+            pipeline_run(asm_fa, mono_fa, out_dir=os.path.join(td, "w"),
+                         second_best=True, device_batch=152)  # warm
+            times = []
+            for rep in range(timed_reps):
+                if rep == timed_reps - 1:
+                    stagetimer.enable()
+                t0 = time.perf_counter()
+                final = pipeline_run(asm_fa, mono_fa,
+                                     out_dir=os.path.join(td, f"t{rep}"),
+                                     second_best=True, device_batch=152)
+                times.append(time.perf_counter() - t0)
+            stagetimer.disable()
+            with open(final) as f:
+                n_rows = sum(1 for _ in f)
+        dt = sorted(times)[len(times) // 2]
+        split = {k: round(v, 3) for k, v in sorted(stagetimer.snapshot().items())}
+        return n_rows, n_rows / dt, split
+
+    n_e2e, e2e_assign_per_s, split_16 = e2e_point(1_600_000, 0)
+    n_20, e2e_20m_per_s, split_20 = e2e_point(20_000_000, 1, timed_reps=3)
+
+    # the honest e2e denominator: the two-stage device roofline (DP kernel +
+    # finishing kernel back-to-back with zero host cost, kernel-only timing
+    # incl. the tunnel's per-call latency) — scripts/roofline_e2e.py inline
+    import subprocess
+
+    roof = {}
+    try:
+        out_ = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "roofline_e2e.py")],
+            capture_output=True, text=True, timeout=900, check=True,
+        )
+        roof = json.loads(out_.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+    roofline = roof.get("two_stage_roofline_per_s", 0.0)
 
     print(json.dumps({
         "metric": "monomer assignments/s per chip (raw DP stage, test read, TSV byte-verified)",
@@ -151,7 +169,16 @@ def main() -> int:
             "e2e_vs_dp_stage": round(assign_per_s / e2e_assign_per_s, 2),
             "e2e_20mbp_assignments_per_s": round(e2e_20m_per_s, 1),
             "e2e_20mbp_vs_dp_stage": round(assign_per_s / e2e_20m_per_s, 2),
-            "e2e_includes": "full pipeline.run on a 1.6 Mbp assembly: overlapped DP + 48-way rescoring + reliability + TSV write; golden-byte-verified on the test read",
+            "two_stage_roofline_per_s": roofline,
+            "e2e_vs_roofline": (round(e2e_assign_per_s / roofline, 3)
+                                if roofline else None),
+            "e2e_20mbp_vs_roofline": (round(e2e_20m_per_s / roofline, 3)
+                                      if roofline else None),
+            "dp_kernel_only_per_s": roof.get("dp_kernel_assignments_per_s"),
+            "fin_kernel_only_per_s": roof.get("fin_kernel_blocks_per_s"),
+            "stage_split_1p6mbp_s": split_16,
+            "stage_split_20mbp_s": split_20,
+            "e2e_includes": "full pipeline.run (-t 1, median of 3 warm runs): overlapped DP + 48-way rescoring + reliability + TSV write; golden-byte-verified on the test read",
         },
     }))
     return 0

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving mode: read one job per stdin line "
                    "(same arguments, no program name), keep kernels warm "
                    "across jobs, emit one JSON status line per job")
+    p.add_argument("--precompile", metavar="MONOMERS_FA", default=None,
+                   help="(with --serve) compile the full kernel shape menu "
+                   "for this monomer set before accepting jobs, so no job "
+                   "pays a mid-stream Mosaic compile")
     return p
 
 
@@ -126,6 +130,31 @@ def serve(default_argv: list[str]) -> int:
     """
     import json
     import shlex
+
+    if "--precompile" in default_argv:
+        i = default_argv.index("--precompile")
+        warm_monomers = default_argv[i + 1]
+        del default_argv[i : i + 2]
+        # the serve-level flags that are compile keys; job lines inherit them
+        pre = argparse.ArgumentParser(add_help=False)
+        pre.add_argument("--device-batch", type=int, default=64)
+        pre.add_argument("-b", "--batch-size", type=str, default="5000")
+        pre.add_argument("-v", "--overlap", type=str, default="500")
+        pre.add_argument("--second-best", action="store_true")
+        pre.add_argument("-s", "--scoring", default="-1,-1,-1,1")
+        pre.add_argument("-t", "--threads", default="1")
+        ns, _ = pre.parse_known_args(default_argv)
+        from .pipeline import precompile_menu
+
+        precompile_menu(
+            warm_monomers,
+            device_batch=ns.device_batch,
+            batch_size=int(ns.batch_size),
+            overlap=int(ns.overlap),
+            second_best=ns.second_best,
+            scoring=ns.scoring,
+            threads=max(1, int(ns.threads)),
+        )
 
     parser = build_parser()
     for line in sys.stdin:

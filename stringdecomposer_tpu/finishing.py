@@ -25,6 +25,7 @@ import numpy as np
 from .io.fasta import Record, encode
 from .models.reliability import classify, load_coefficients
 from .ops.identity import nw_identity_batch
+from .utils.stagetimer import stage
 
 
 def homo_compress(seq: str) -> str:
@@ -288,8 +289,13 @@ def _pad_codes(
 
 
 def finish_reads(
-    per_read_blocks: list[tuple[str, list[dict]]],  # [(read_name, [{m,start,end}])]
-    reads_by_name: dict[str, str],  # name -> sequence (uppercase)
+    # [(read_name, [{m,start,end}])] or [(read_name, blocks, key)] — the
+    # optional key selects the sequence in reads_by_name (positional keys
+    # make duplicate read names safe; the raw-TSV --resume path has only
+    # names, where duplicates are inherently ambiguous — the reference
+    # outright crashes on them, main.py:65)
+    per_read_blocks: list[tuple],
+    reads_by_name: dict,  # key -> sequence (uppercase)
     monomers_interleaved: list[Record],
     second_best: bool = False,
     model_file: str | None = None,
@@ -326,14 +332,15 @@ def finish_reads(
             group, pending = [], 0
 
     try:
-        for read_name, blocks in per_read_blocks:
+        for e in per_read_blocks:
+            read_name, blocks, key = _entry(e)
             # a single centromere-scale "read" is split too: adjacent
             # same-name groups concatenate to identical output bytes, and
             # the classifier is row-wise, so block-level splitting is
             # observationally safe
             for s in range(0, max(len(blocks), 1), max_blocks):
                 chunk = blocks[s : s + max_blocks]
-                group.append((read_name, chunk))
+                group.append((read_name, chunk, key))
                 pending += len(chunk) * stride
                 if pending >= flush_pairs:
                     flush()
@@ -346,7 +353,8 @@ def finish_reads(
     # merge — mixed/legacy parts fall back to a materialized list
     merged: list[tuple[str, Rows | list[FinishedBlock]]] = []
     gi = 0
-    for read_name, blocks in per_read_blocks:
+    for e in per_read_blocks:
+        read_name, blocks, _ = _entry(e)
         need = max(1, -(-max(len(blocks), 1) // max_blocks))
         parts = [out[gi + k][1] for k in range(need)]
         gi += need
@@ -367,17 +375,32 @@ class _CodesCache:
     20 Mbp that is ~10^5 tiny Python/NumPy calls on the host's critical
     path). The cache lives as long as its reads_by_name dict (the codes add
     ~1 byte/bp to the 1-byte/bp strings already held); streaming callers
-    create one cache per bounded read group."""
+    create one cache per bounded read group.
 
-    def __init__(self, reads_by_name: dict[str, str]):
-        self.reads = reads_by_name
-        self.codes: dict[str, np.ndarray] = {}
+    Keys are whatever the caller groups reads by — the display name, or a
+    positional index when the input may carry DUPLICATE read names (the
+    reference crashes on those: SeqIO.to_dict raises, main.py:65; here the
+    fresh/streaming runners key positionally so every block group scores
+    against its own read)."""
 
-    def get(self, name: str) -> np.ndarray:
-        c = self.codes.get(name)
+    def __init__(self, reads_by_key: dict):
+        self.reads = reads_by_key
+        self.codes: dict = {}
+
+    def get(self, key) -> np.ndarray:
+        c = self.codes.get(key)
         if c is None:
-            c = self.codes[name] = encode(self.reads[name])
+            c = self.codes[key] = encode(self.reads[key])
         return c
+
+
+def _entry(e) -> tuple[str, list, object]:
+    """Normalize a group entry: (name, blocks) or (name, blocks, key) ->
+    (name, blocks, key); key defaults to the display name."""
+    if len(e) == 3:
+        return e
+    name, blocks = e
+    return name, blocks, name
 
 
 def _homo_codes(c: np.ndarray) -> np.ndarray:
@@ -432,19 +455,19 @@ def _dispatch_group_packed(
 
     from .ops.identity_pallas import nw_identity_packed_both
 
-    names = [rn for rn, blocks in per_read_blocks for _ in blocks]
+    n_names = sum(len(blocks) for _, blocks, _ in per_read_blocks)
     starts = np.fromiter(
-        (d["start"] for _, blocks in per_read_blocks for d in blocks),
-        dtype=np.int64, count=len(names),
+        (d["start"] for _, blocks, _ in per_read_blocks for d in blocks),
+        dtype=np.int64, count=n_names,
     )
     lens = np.fromiter(
-        (d["end"] - d["start"] + 1 for _, blocks in per_read_blocks for d in blocks),
-        dtype=np.int32, count=len(names),
+        (d["end"] - d["start"] + 1 for _, blocks, _ in per_read_blocks for d in blocks),
+        dtype=np.int32, count=n_names,
     )
-    group_reads = [rn for rn, blocks in per_read_blocks if blocks]
-    uniq_reads = list(dict.fromkeys(group_reads))
-    if len(uniq_reads) == 1:
-        read_dev = ctx.read_dev(uniq_reads[0], codes_cache.get(uniq_reads[0]))
+    group_keys = [key for _, blocks, key in per_read_blocks if blocks]
+    uniq_keys = list(dict.fromkeys(group_keys))
+    if len(uniq_keys) == 1:
+        read_dev = ctx.read_dev(uniq_keys[0], codes_cache.get(uniq_keys[0]))
     else:
         # multi-read group: concatenate the group's reads host-side and
         # shift starts; uploads ~= the old substring matrices, but the homo
@@ -452,16 +475,16 @@ def _dispatch_group_packed(
         offs = {}
         parts = []
         off = 0
-        for rn in uniq_reads:
-            c = codes_cache.get(rn)
-            offs[rn] = off
+        for key in uniq_keys:
+            c = codes_cache.get(key)
+            offs[key] = off
             parts.append(c)
             off += len(c)
         read_dev = jnp.asarray(np.concatenate(parts) if parts else
                                np.zeros(1, dtype=np.int8))
         shift = np.fromiter(
-            (offs[rn] for rn, blocks in per_read_blocks for _ in blocks),
-            dtype=np.int64, count=len(names),
+            (offs[key] for _, blocks, key in per_read_blocks for _ in blocks),
+            dtype=np.int64, count=n_names,
         )
         starts = starts + shift
     Nb = len(starts)
@@ -499,8 +522,18 @@ def _dispatch_finish_group(
     _gather_finish_group. Splitting dispatch from gather lets the pipeline
     keep several groups in flight while the DP stage's batches share the
     device queue (the producer/consumer overlap)."""
+    with stage("fin.dispatch"):
+        return _dispatch_finish_group_inner(
+            [_entry(e) for e in per_read_blocks], codes_cache, mono_codes,
+            homo_codes, name_to_idx, second_best, kernel, dev_ctx)
+
+
+def _dispatch_finish_group_inner(
+    per_read_blocks, codes_cache, mono_codes, homo_codes, name_to_idx,
+    second_best, kernel, dev_ctx=None,
+) -> dict:
     if second_best and dev_ctx is not None:
-        n = sum(len(blocks) for _, blocks in per_read_blocks)
+        n = sum(len(blocks) for _, blocks, _ in per_read_blocks)
         return {
             "group": per_read_blocks, "n": n, "second_best": True,
             "pend_packed": _dispatch_group_packed(
@@ -508,8 +541,8 @@ def _dispatch_finish_group(
         }
     subs: list[np.ndarray] = []
     homo_subs: list[np.ndarray] = []
-    for read_name, blocks in per_read_blocks:
-        codes = codes_cache.get(read_name)
+    for _, blocks, key in per_read_blocks:
+        codes = codes_cache.get(key)
         for d in blocks:
             sub = codes[d["start"] : d["end"] + 1]
             subs.append(sub)
@@ -527,7 +560,7 @@ def _dispatch_finish_group(
     else:
         pairs_t = [
             mono_codes[name_to_idx[d["m"]]]
-            for _, blocks in per_read_blocks for d in blocks
+            for _, blocks, _ in per_read_blocks for d in blocks
         ]
         pg["pend_light"] = _dispatch_pairs(subs, pairs_t, kernel)
     return pg
@@ -568,37 +601,39 @@ def _gather_finish_group(
     second_best = pg["second_best"]
     M_ = len(mono_names)
     n = pg["n"]
-    if second_best:
-        mt_raw = np.zeros((n, M_), dtype=np.int64)
-        ln_raw = np.zeros((n, M_), dtype=np.int64)
-        mt_homo = np.zeros((n, M_), dtype=np.int64)
-        ln_homo = np.zeros((n, M_), dtype=np.int64)
-        if "pend_packed" in pg:
-            for s, cn, dev in pg["pend_packed"]:
-                arr = np.asarray(dev).astype(np.int64)  # [2, n_pad*M, 2]
-                for v, (mt_o, ln_o) in enumerate(((mt_raw, ln_raw),
-                                                  (mt_homo, ln_homo))):
-                    d2 = arr[v].reshape(-1, M_, 2)[:cn]
-                    ln_o[s : s + cn] = d2[..., 1]
-                    mt_o[s : s + cn] = d2[..., 1] - d2[..., 0]  # cols - D
+    with stage("fin.gather"):
+        if second_best:
+            mt_raw = np.zeros((n, M_), dtype=np.int64)
+            ln_raw = np.zeros((n, M_), dtype=np.int64)
+            mt_homo = np.zeros((n, M_), dtype=np.int64)
+            ln_homo = np.zeros((n, M_), dtype=np.int64)
+            if "pend_packed" in pg:
+                for s, cn, dev in pg["pend_packed"]:
+                    arr = np.asarray(dev).astype(np.int64)  # [2, n_pad*M, 2]
+                    for v, (mt_o, ln_o) in enumerate(((mt_raw, ln_raw),
+                                                      (mt_homo, ln_homo))):
+                        d2 = arr[v].reshape(-1, M_, 2)[:cn]
+                        ln_o[s : s + cn] = d2[..., 1]
+                        mt_o[s : s + cn] = d2[..., 1] - d2[..., 0]  # cols - D
+            else:
+                for pend, mt_o, ln_o in ((pg["pend_raw"], mt_raw, ln_raw),
+                                         (pg["pend_homo"], mt_homo, ln_homo)):
+                    for s, cn, mt, ln in pend:
+                        mt_o[s : s + cn] = np.asarray(mt).reshape(-1, M_)[:cn]
+                        ln_o[s : s + cn] = np.asarray(ln).reshape(-1, M_)[:cn]
         else:
-            for pend, mt_o, ln_o in ((pg["pend_raw"], mt_raw, ln_raw),
-                                     (pg["pend_homo"], mt_homo, ln_homo)):
-                for s, cn, mt, ln in pend:
-                    mt_o[s : s + cn] = np.asarray(mt).reshape(-1, M_)[:cn]
-                    ln_o[s : s + cn] = np.asarray(ln).reshape(-1, M_)[:cn]
-    else:
-        matches = np.zeros(n, dtype=np.int64)
-        totals = np.zeros(n, dtype=np.int64)
-        for s, cn, mt, ln in pg["pend_light"]:
-            matches[s : s + cn] = np.asarray(mt)[:cn]
-            totals[s : s + cn] = np.asarray(ln)[:cn]
-    return _assemble_group(
-        per_read_blocks, second_best, mono_names, name_to_idx, coef,
-        mt_raw if second_best else None, ln_raw if second_best else None,
-        mt_homo if second_best else None, ln_homo if second_best else None,
-        matches if not second_best else None, totals if not second_best else None,
-    )
+            matches = np.zeros(n, dtype=np.int64)
+            totals = np.zeros(n, dtype=np.int64)
+            for s, cn, mt, ln in pg["pend_light"]:
+                matches[s : s + cn] = np.asarray(mt)[:cn]
+                totals[s : s + cn] = np.asarray(ln)[:cn]
+    with stage("fin.assemble"):
+        return _assemble_group(
+            per_read_blocks, second_best, mono_names, name_to_idx, coef,
+            mt_raw if second_best else None, ln_raw if second_best else None,
+            mt_homo if second_best else None, ln_homo if second_best else None,
+            matches if not second_best else None, totals if not second_best else None,
+        )
 
 
 def _finish_group(
@@ -660,11 +695,11 @@ def _assemble_group(
             hsc_all = np.where(ln_homo == 0, 0.0,
                                (mt_homo.astype(np.float64) / ln_homo) * 100.0)
         best_idx_all = np.fromiter(
-            (name_to_idx[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+            (name_to_idx[d["m"]] for _, blocks, _ in per_read_blocks for d in blocks),
             dtype=np.int32, count=Nb,
         )
         best_upos_all = np.fromiter(
-            (upos[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+            (upos[d["m"]] for _, blocks, _ in per_read_blocks for d in blocks),
             dtype=np.int32, count=Nb,
         )
         rows = np.arange(Nb)
@@ -704,7 +739,7 @@ def _assemble_group(
                 totals == 0, 0.0, (matches.astype(np.float64) / totals) * 100.0
             )
         best_idx_all = np.fromiter(
-            (name_to_idx[d["m"]] for _, blocks in per_read_blocks for d in blocks),
+            (name_to_idx[d["m"]] for _, blocks, _ in per_read_blocks for d in blocks),
             dtype=np.int32, count=Nb,
         )
         best_upos_all = np.full(Nb, -1, dtype=np.int32)
@@ -712,17 +747,17 @@ def _assemble_group(
         sb_score_all = hb_score_all = hs_score_all = np.full(Nb, -1.0)
         alt_all = None
     starts_all = np.fromiter(
-        (d["start"] for _, blocks in per_read_blocks for d in blocks),
+        (d["start"] for _, blocks, _ in per_read_blocks for d in blocks),
         dtype=np.int64, count=Nb,
     )
     ends_all = np.fromiter(
-        (d["end"] for _, blocks in per_read_blocks for d in blocks),
+        (d["end"] for _, blocks, _ in per_read_blocks for d in blocks),
         dtype=np.int64, count=Nb,
     )
     # reliability flags (main.py:149) — row-wise, so one group-level call
     reliable_all = classify(best_score_all, sb_score_all, coef)
     bi = 0
-    for read_name, blocks in per_read_blocks:
+    for read_name, blocks, _ in per_read_blocks:
         n = len(blocks)
         s = slice(bi, bi + n)
         out.append((read_name, Rows(
@@ -813,8 +848,11 @@ class AsyncFinisher:
             out.extend(self._gather_one())
         return out
 
-    def submit(self, read_name: str, blocks: list[dict]):
-        return self.submit_group([(read_name, blocks)])
+    def submit(self, read_name: str, blocks: list[dict], key=None):
+        """`key` selects the sequence in reads_by_key when it isn't the
+        display name (positional keys make duplicate read names safe)."""
+        return self.submit_group(
+            [(read_name, blocks, read_name if key is None else key)])
 
     def _gather_one(self):
         pg = self._q.popleft()

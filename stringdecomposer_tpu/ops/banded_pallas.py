@@ -27,9 +27,15 @@ contract (`dp_banded_nw_batch`) is the lane b = q_len - t_len + k of the
 same column, so one kernel serves both callers (see `banded_final_column`
 wrappers in ops/align.py).
 
-Routing is env-gated until hardware-measured: SDTPU_BANDED_BACKEND =
-"scan" (default) | "pallas" | "auto" (pallas where supported), read once
-at import like SDTPU_GROUP_MODE.
+Routing: SDTPU_BANDED_BACKEND = "scan" | "pallas" | "auto" (default),
+read once at import like SDTPU_GROUP_MODE. "auto" takes the fused
+Pallas/Myers routes on real hardware and the scan on CPU. Default flipped
+to auto after the round-5 hardware A/B (scripts/bench_align.py, v5e,
+distance-verified; see BASELINE.md "banded-backend A/B"): HW 4 kbp x 1 Mbp
+k=64 320.6 s scan -> 1.8 s pallas, SHW k=64 11.5 s -> 0.7 s, exact k=-1
+HW 20.6 s -> 1.1 s, Hirschberg PATH at 262 kbp 82.4 s -> 47.0 s (1.8x).
+The only measured near-tie was SHW k=256 (1.32 s scan vs 1.57 s pallas);
+every other route favors the fused kernels by 1.6-300x.
 """
 
 from __future__ import annotations
@@ -47,7 +53,7 @@ COL_TILE = 128  # target columns per grid step (lane-aligned)
 
 # resolved ONCE at import: a trace-time read would be frozen into the jit
 # cache under the default argument — per-process A/B only
-DEFAULT_BACKEND = _os.environ.get("SDTPU_BANDED_BACKEND", "scan")
+DEFAULT_BACKEND = _os.environ.get("SDTPU_BANDED_BACKEND", "auto")
 
 
 def _kernel(

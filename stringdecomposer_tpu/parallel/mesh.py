@@ -24,8 +24,8 @@ def get_mesh(devices=None) -> Mesh:
 def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None,
                            process_id: int | None = None) -> None:
     """Multi-host bring-up (jax.distributed). Reads are sharded per host by
-    the caller (runtime/scheduler.py); DCN carries only input distribution
-    and the final TSV-fragment merge."""
+    the caller (parallel/multihost.py shard_indices); DCN carries only input
+    distribution and the final TSV-fragment merge."""
     kwargs = {}
     if coordinator:
         kwargs = dict(

@@ -410,12 +410,13 @@ def run_multihost(
             per_read_raw = [
                 (r.name.split()[0],
                  [{"m": dp_names[b.monomer].split()[0],
-                   "start": b.start, "end": b.end} for b in blocks])
-                for r, (_, blocks) in zip(group, result)
+                   "start": b.start, "end": b.end} for b in blocks],
+                 gi)  # positional key: duplicate names stay distinct
+                for gi, (r, (_, blocks)) in enumerate(zip(group, result))
             ]
-            reads_by_name = {r.name.split()[0]: r.seq.upper() for r in group}
+            reads_by_key = {gi: r.seq.upper() for gi, r in enumerate(group)}
             finished = finish_reads(
-                per_read_raw, reads_by_name, monomers_fin,
+                per_read_raw, reads_by_key, monomers_fin,
                 second_best=second_best, kernel=identity_kernel,
                 threads=threads,
             )

@@ -29,6 +29,7 @@ from .io.fasta import Record, encode, pad_monomers
 from .ops.chain_dp import build_window_batch, chain_dp_forward
 from .ops.oracle import Block, PostprocessStream, Scoring, make_windows
 from .ops.traceback import blocks_from_device
+from .utils.stagetimer import stage
 
 logger = logging.getLogger("SD-TPU")
 
@@ -131,19 +132,22 @@ def decompose_stream(
     def drain(one: bool) -> None:
         while inflight and (len(inflight) >= MAX_INFLIGHT if one else True):
             tidxs, blocks_dev, counts_dev, perms, redo = inflight.pop(0)
-            blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
-            if counts.max() > blocks_arr.shape[1]:
-                # the transfer-size cap was too small for a pathological
-                # window (counts overflow is detectable: the walk keeps
-                # counting past the array) — recompute this batch unclamped
-                blocks_dev, counts_dev = redo()
-                blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
-            for b, ti_ in enumerate(tidxs):
-                blocks = blocks_from_device(blocks_arr[b], counts[b])
-                if perms is not None:  # map filtered row -> original index
-                    for blk in blocks:
-                        blk.monomer = int(perms[b][blk.monomer])
-                per_window_blocks[ti_] = blocks
+            with stage("dp.gather"):
+                blocks_arr = np.asarray(blocks_dev)
+                counts = np.asarray(counts_dev)
+                if counts.max() > blocks_arr.shape[1]:
+                    # the transfer-size cap was too small for a pathological
+                    # window (counts overflow is detectable: the walk keeps
+                    # counting past the array) — recompute this batch unclamped
+                    blocks_dev, counts_dev = redo()
+                    blocks_arr, counts = np.asarray(blocks_dev), np.asarray(counts_dev)
+            with stage("dp.replay"):
+                for b, ti_ in enumerate(tidxs):
+                    blocks = blocks_from_device(blocks_arr[b], counts[b])
+                    if perms is not None:  # map filtered row -> original index
+                        for blk in blocks:
+                            blk.monomer = int(perms[b][blk.monomer])
+                    per_window_blocks[ti_] = blocks
 
     # geometric levels (W, W/2, W/4, ... >= 512): a tail window lands in the
     # full-width bucket instead of fragmenting the batch, while genuinely
@@ -162,7 +166,7 @@ def decompose_stream(
     # push through the per-read PostprocessStream, free consumed results
     state = {"cursor": 0, "pp": None, "next_final": 0}
 
-    def emit_ready() -> list[tuple[int, list[Block], bool]]:
+    def _emit_ready() -> list[tuple[int, list[Block], bool]]:
         out: list[tuple[int, list[Block], bool]] = []
         c = state["cursor"]
         pp = state["pp"]
@@ -192,6 +196,10 @@ def decompose_stream(
         state["pp"] = pp
         return out
 
+    def emit_ready() -> list[tuple[int, list[Block], bool]]:
+        with stage("dp.postprocess"):
+            return _emit_ready()
+
     for s0 in range(0, len(tasks), S):
         slab = range(s0, min(s0 + S, len(tasks)))
         buckets: dict[int, list[int]] = {}
@@ -209,10 +217,11 @@ def decompose_stream(
                 # pads to the bulk shape instead of minting a new one
                 n_w = len(tidxs)
                 B_eff = min(B, 24 if n_w <= 24 else 48 if n_w <= 48 else B)
-                wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
-                while len(wins) < B_eff:  # pad to the static shape
-                    wins.append(wins[-1])
-                wbatch, wlens = build_window_batch(wins, W_b)
+                with stage("dp.prep"):
+                    wins = [read_codes[t.read_idx][t.offset : t.offset + t.length] for t in batch]
+                    while len(wins) < B_eff:  # pad to the static shape
+                        wins.append(wins[-1])
+                    wbatch, wlens = build_window_batch(wins, W_b)
                 perms = None
                 if cfg.ed_thr > -1:
                     # per-chunk monomer pre-filter (src/main.cpp:128-149):
@@ -239,9 +248,10 @@ def decompose_stream(
                 # recomputed unclamped in drain()
                 cap = min(W_b, max(256, W_b // 8))
                 kw = dict(ins=sc.ins, dele=sc.dele, mismatch=sc.mismatch, match=sc.match)
-                blocks_dev, counts_dev = forward_fn(
-                    wbatch, wlens, fwd_mono, fwd_lens, max_blocks=cap, **kw
-                )
+                with stage("dp.dispatch"):
+                    blocks_dev, counts_dev = forward_fn(
+                        wbatch, wlens, fwd_mono, fwd_lens, max_blocks=cap, **kw
+                    )
 
                 def redo(wb_=wbatch, wl_=wlens, fm=fwd_mono, fl=fwd_lens, kw_=kw):
                     return forward_fn(wb_, wl_, fm, fl, **kw_)
@@ -324,18 +334,23 @@ def _pump_reads(
             cur_ridx, prev_end = ridx, 0
         name = reads[ridx].name
         if blocks:
-            rows = format_raw_rows(name, blocks, dp_names, prev_end=prev_end)
-            fraw.write("\n".join(rows) + "\n")  # one write per chunk
+            with stage("host.raw_rows"):
+                rows = format_raw_rows(name, blocks, dp_names, prev_end=prev_end)
+                fraw.write("\n".join(rows) + "\n")  # one write per chunk
             prev_end = blocks[-1].end
             n_blocks += len(blocks)
-            pend.extend(
-                {"m": dp_names[b.monomer].split()[0], "start": b.start,
-                 "end": b.end}
-                for b in blocks
-            )
+            with stage("host.pend"):
+                pend.extend(
+                    {"m": dp_names[b.monomer].split()[0], "start": b.start,
+                     "end": b.end}
+                    for b in blocks
+                )
         if final or len(pend) >= fin_chunk:
-            write_final_rows(fout, falt, finisher.submit(name, pend),
-                             identity_th=min_identity)
+            # key by read INDEX: duplicate read names must score against
+            # their own sequence (the reference crashes on them, main.py:65)
+            ready = finisher.submit(name, pend, key=reads_done + ridx)
+            with stage("fin.write"):
+                write_final_rows(fout, falt, ready, identity_th=min_identity)
             pend = []
         if final:
             logger.info(
@@ -474,9 +489,11 @@ def run(
         pass
     t0 = time.perf_counter()
     dp_names = [m.name for m in monomers_dp]
-    reads_by_name = {r.name: r.seq.upper() for r in reads}
+    # positional keys, not names: duplicate read names must each score
+    # against their own sequence (SeqIO.to_dict would crash the reference)
+    reads_by_key = {i: r.seq.upper() for i, r in enumerate(reads)}
     finisher = AsyncFinisher(
-        reads_by_name, monomers_fin, second_best=second_best,
+        reads_by_key, monomers_fin, second_best=second_best,
         kernel=identity_kernel, threads=threads,
     )
     from .finishing import write_final_rows
@@ -492,7 +509,9 @@ def run(
                 reads, monomers_dp, cfg, forward_fn, finisher, fraw, fout, falt,
                 dp_names, min_identity,
             )
-            write_final_rows(fout, falt, finisher.drain(), identity_th=min_identity)
+            finished_tail = finisher.drain()
+            with stage("fin.write"):
+                write_final_rows(fout, falt, finished_tail, identity_th=min_identity)
     finally:
         finisher.close()
     os.replace(raw_path + ".tmp", raw_path)
@@ -507,6 +526,74 @@ def run(
     )
     logger.info("Transformation finished. Results can be found in %s", final_path)
     return final_path
+
+
+def precompile_menu(
+    monomers_path: str,
+    device_batch: int = 64,
+    batch_size: int = 5000,
+    overlap: int = 500,
+    second_best: bool = True,
+    scoring: str = "-1,-1,-1,1",
+    threads: int = 1,
+) -> None:
+    """Compile the whole kernel menu up front (serve-mode warmup).
+
+    A serve job stream with heterogeneous read lengths mints compile keys
+    lazily — each fresh (batch-rows, window-width) or finishing shape costs
+    a full Mosaic compile (~2 min on this host) in the MIDDLE of a job. This
+    runs one synthetic job through every shape the pipeline can route to
+    under the given flags: the window-width levels (W, W/2, ... >= 512 —
+    see decompose_stream's geometric buckets), the {24, 48, device_batch}
+    batch-row menu, and the finishing stage's {8, 1024, 4096} row menu with
+    its canonical Lq=256 key. Steady-state job latency afterwards is device
+    time only. Synthetic reads are concatenated monomers, so the finishing
+    wavefront sizes match real jobs for this monomer set."""
+    import itertools
+    import os
+    import tempfile
+
+    from .io.fasta import load_fasta
+
+    monomers = load_fasta(monomers_path)
+    units = itertools.cycle(m.seq for m in monomers)
+
+    def synth(n: int) -> str:
+        parts: list[str] = []
+        got = 0
+        while got < n:
+            u = next(units)
+            parts.append(u)
+            got += len(u)
+        return "".join(parts)[:n]
+
+    W = batch_size + overlap
+    levels = [W]
+    while levels[-1] // 2 >= 512:
+        levels.append(levels[-1] // 2)
+    reads: list[tuple[str, str]] = []
+    # full-width bucket at every batch-rows menu entry: one read per tail
+    # size (24 / 48 / device_batch windows)
+    for i, n_win in enumerate(sorted({24, 48, device_batch})):
+        reads.append((f"warm_full_{i}", synth(n_win * batch_size)))
+    # sub-width buckets (short reads): each is a 24-row batch at that level
+    for i, lv in enumerate(levels[1:]):
+        reads.append((f"warm_lv{i}", synth(max(1, lv - 8))))
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "warm.fa")
+        with open(fa, "w") as f:
+            for name, seq in reads:
+                f.write(f">{name}\n{seq}\n")
+        logger.info("precompile: warming %d shapes (%d synthetic reads)",
+                    len(reads) + 3, len(reads))
+        t0 = time.perf_counter()
+        run(
+            fa, monomers_path, out_dir=os.path.join(td, "out"),
+            scoring=scoring, batch_size=batch_size, overlap=overlap,
+            second_best=second_best, device_batch=device_batch,
+            threads=threads,
+        )
+        logger.info("precompile: menu warm in %.1fs", time.perf_counter() - t0)
 
 
 def _run_streaming(
@@ -569,19 +656,20 @@ def _run_streaming(
             validate_acgtn(group, sequences_path)
             result = decompose_reads(group, monomers_dp, cfg, forward_fn=forward_fn)
             per_read_raw = []
-            for rname, blocks in result:
+            for gi, (rname, blocks) in enumerate(result):
                 rows = format_raw_rows(rname, blocks, dp_names)
                 if rows:
                     fraw.write("\n".join(rows) + "\n")
                 per_read_raw.append(
                     (rname.split()[0],
                      [{"m": dp_names[b.monomer].split()[0],
-                       "start": b.start, "end": b.end} for b in blocks])
+                       "start": b.start, "end": b.end} for b in blocks],
+                     gi)  # positional key: duplicate names stay distinct
                 )
                 n_blocks += len(blocks)
-            reads_by_name = {r.name: r.seq for r in group}
+            reads_by_key = {gi: r.seq for gi, r in enumerate(group)}
             finished = finish_reads(
-                per_read_raw, reads_by_name, monomers_fin,
+                per_read_raw, reads_by_key, monomers_fin,
                 second_best=second_best, kernel=identity_kernel,
                 threads=threads,
             )

@@ -13,6 +13,11 @@ from .ops.oracle import Block
 
 
 _ID6_MEMO: dict[float, str] = {}
+# identities are match/length ratios so a run sees only a few thousand
+# distinct doubles — but a long-lived --serve process crossing many unrelated
+# jobs must not grow this without bound; reset (cheap, it refills in one
+# chunk) past a cap no real assembly reaches
+_ID6_MEMO_CAP = 1 << 18
 
 
 def format_raw_rows(read_name: str, blocks: list[Block], monomer_names: list[str],
@@ -27,6 +32,8 @@ def format_raw_rows(read_name: str, blocks: list[Block], monomer_names: list[str
     emission, finishing.write_final_rows).
     """
     memo = _ID6_MEMO
+    if len(memo) > _ID6_MEMO_CAP:
+        memo.clear()
     rows = []
     for b in blocks:
         ident = float(b.identity)
