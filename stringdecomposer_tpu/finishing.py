@@ -252,7 +252,7 @@ def _dispatch_blocks_x_monomers(blocks, targets, kernel, block_chunk=4096):
         # padding would waste up to bc-1 rows of kernel work, but every
         # distinct row count is a compile key, so the menu stays tiny
         n = len(part)
-        n_pad = min(bc, 8 if n <= 8 else 1024 if n <= 1024 else bc)
+        n_pad = min(bc, 8 if n <= 8 else 1024 if n <= 1024 else 2048 if n <= 2048 else bc)
         q = np.zeros((n_pad, Lq_all), dtype=np.int8)  # pad rows: len-0 queries
         ql = np.zeros(n_pad, dtype=np.int32)
         for i, b in enumerate(part):
@@ -495,7 +495,7 @@ def _dispatch_group_packed(
         if len(part_lens) == 0:
             break
         n = len(part_lens)
-        n_pad = min(bc, 8 if n <= 8 else 1024 if n <= 1024 else bc)
+        n_pad = min(bc, 8 if n <= 8 else 1024 if n <= 1024 else 2048 if n <= 2048 else bc)
         Lq = max(256, (int(part_lens.max()) + 127) // 128 * 128)
         dev = nw_identity_packed_both(
             read_dev, starts[s : s + bc], part_lens,
@@ -579,7 +579,7 @@ def _dispatch_pairs(pairs_q, pairs_t, kernel, chunk=4096):
         # _dispatch_blocks_x_monomers: per-read dispatch would otherwise
         # compile one kernel per distinct block count
         n = len(qs)
-        n_pad = min(chunk, 8 if n <= 8 else 1024 if n <= 1024 else chunk)
+        n_pad = min(chunk, 8 if n <= 8 else 1024 if n <= 1024 else 2048 if n <= 2048 else chunk)
         q, ql = _pad_codes(qs, rows=n_pad, min_len=256)
         t, tl = _pad_codes(ts, rows=n_pad, min_len=256)
         _, mt, ln = kernel(q.astype(np.int8), ql, t.astype(np.int8), tl)

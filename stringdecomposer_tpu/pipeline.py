@@ -200,6 +200,7 @@ def decompose_stream(
         with stage("dp.postprocess"):
             return _emit_ready()
 
+    n_dispatched = 0
     for s0 in range(0, len(tasks), S):
         slab = range(s0, min(s0 + S, len(tasks)))
         buckets: dict[int, list[int]] = {}
@@ -207,14 +208,22 @@ def decompose_stream(
             buckets.setdefault(bucket_of(tasks[ti_].length), []).append(ti_)
         for W_b in sorted(buckets):
             order = buckets[W_b]
-            for s in range(0, len(order), B):
-                tidxs = order[s : s + B]
-                batch = [tasks[ti_] for ti_ in tidxs]
-                # right-size the tail batch from a tiny menu {24, 48, B}:
-                # a single-read job runs 24 window slots, not B, but every
+            s = 0
+            while s < len(order):
+                # pipeline ramp-up: the first two batches of a run are small
+                # (24 then 48 windows) so the first window chunks finalize —
+                # and the finishing stage starts its device work — ~6x
+                # sooner; both sizes are already in the compile menu, and at
+                # scale two small leading batches are noise. Tail batches
+                # right-size from the same tiny menu {24, 48, B}: every
                 # distinct batch size is a kernel compile key (~2 min per
                 # fresh Mosaic compile on this host), so a mid-size tail
-                # pads to the bulk shape instead of minting a new one
+                # pads to the bulk shape instead of minting a new one.
+                ramp = 24 if n_dispatched == 0 else 48 if n_dispatched == 1 else B
+                tidxs = order[s : s + min(ramp, B)]
+                s += len(tidxs)
+                n_dispatched += 1
+                batch = [tasks[ti_] for ti_ in tidxs]
                 n_w = len(tidxs)
                 B_eff = min(B, 24 if n_w <= 24 else 48 if n_w <= 48 else B)
                 with stage("dp.prep"):
@@ -312,6 +321,9 @@ def _pump_reads(
     min_identity: int,
     reads_done: int = 0,
     reads_total: int | None = None,
+    # 4096 measured best at 20 Mbp: halving to 2048 doubled the finishing
+    # call count and cost ~7% e2e (57 gathers x tunnel RTT + per-call
+    # prologue outweigh the finer overlap)
     fin_chunk: int = 4096,
 ) -> int:
     """Overlapped DP + finishing over one read list: stream raw rows as
