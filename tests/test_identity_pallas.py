@@ -77,3 +77,85 @@ def test_pallas_wavefront_wrap_edges():
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_array_equal(m0, m1)
     np.testing.assert_array_equal(l0, l1)
+
+
+def test_dynamic_tile_steps_extreme_variance():
+    """Per-tile dynamic trip counts (round 5): tiles whose own max diagonal
+    is far below the batch max must still produce exact results — both with
+    lengths sorted (short tiles stop early) and scrambled (every tile
+    carries one long pair)."""
+    rng = np.random.default_rng(11)
+    alpha = list("ACGT")
+    pairs = []
+    for _ in range(30):  # short pairs
+        pairs.append(("".join(rng.choice(alpha, int(rng.integers(5, 30)))),
+                      "".join(rng.choice(alpha, int(rng.integers(5, 30))))))
+    for _ in range(4):  # long outliers
+        pairs.append(("".join(rng.choice(alpha, int(rng.integers(200, 250)))),
+                      "".join(rng.choice(alpha, int(rng.integers(200, 250))))))
+    for order in (np.argsort([len(a) + len(b) for a, b in pairs]),
+                  rng.permutation(len(pairs))):
+        qs = [pairs[i][0] for i in order]
+        ts = [pairs[i][1] for i in order]
+        q, ql = _pad_batch(qs)
+        t, tl = _pad_batch(ts)
+        d0, m0, l0 = (np.asarray(x) for x in nw_identity_batch(q, ql, t, tl))
+        d1, m1, l1 = (np.asarray(x) for x in
+                      nw_identity_batch_pallas(q, ql, t, tl, pair_tile=8))
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(m0, m1)
+        np.testing.assert_array_equal(l0, l1)
+
+
+def test_packed_both_matches_pairwise_scan():
+    """nw_identity_packed_both (device-resident finishing path): block
+    extraction from the read, on-device homo collapse, cross-product
+    expansion, and the round-5 sort/unsort must reproduce the per-pair scan
+    for BOTH variants — including scrambled block order with a long outlier
+    and zero-length pad rows."""
+    import jax.numpy as jnp
+
+    from stringdecomposer_tpu.finishing import homo_compress
+    from stringdecomposer_tpu.io.fasta import encode
+    from stringdecomposer_tpu.ops.identity_pallas import nw_identity_packed_both
+
+    rng = np.random.default_rng(23)
+    alpha = list("ACGT")
+    unit = "".join(rng.choice(alpha, 17))
+    read = (unit * 40)[:600]
+    # scrambled blocks: short, medium, one long outlier, repeated starts
+    blocks = [(5, 20), (100, 17), (0, 230), (40, 8), (300, 60), (100, 17),
+              (550, 50), (7, 1)]
+    starts = np.array([s for s, _ in blocks], dtype=np.int64)
+    lens = np.array([ln for _, ln in blocks], dtype=np.int32)
+    monos = ["".join(rng.choice(alpha, int(n))) for n in (17, 23, 11)]
+    mono_codes = [encode(m) for m in monos]
+    homo_codes = [encode(homo_compress(m)) for m in monos]
+
+    from stringdecomposer_tpu.finishing import _pad_codes
+
+    t_raw, tl_raw = _pad_codes(mono_codes)
+    t_homo, tl_homo = _pad_codes(homo_codes)
+    n_pad = 16  # > len(blocks): exercises zero-length pad rows
+    out = np.asarray(nw_identity_packed_both(
+        jnp.asarray(encode(read)), starts, lens,
+        jnp.asarray(t_raw), tl_raw, jnp.asarray(t_homo), tl_homo,
+        n_pad=n_pad, Lq=256,
+    )).astype(np.int64)  # [2, n_pad*M, 2]
+    M = len(monos)
+    for v, variant_codes in enumerate((mono_codes, homo_codes)):
+        subs = []
+        for s, ln in blocks:
+            sub = encode(read)[s : s + ln]
+            subs.append(sub if v == 0 else
+                        sub[np.concatenate(([True], sub[1:] != sub[:-1]))]
+                        if len(sub) else sub)
+        qs = [sub for sub in subs for _ in range(M)]
+        ts = [tc for _ in subs for tc in variant_codes]
+        q, ql = _pad_batch(["".join("ACGTN NN"[c] for c in x) for x in qs])
+        t, tl = _pad_batch(["".join("ACGTN NN"[c] for c in x) for x in ts])
+        d0, m0, l0 = (np.asarray(x) for x in nw_identity_batch(q, ql, t, tl))
+        got = out[v].reshape(-1, M, 2)[: len(blocks)].reshape(-1, 2)
+        np.testing.assert_array_equal(got[:, 0], d0)  # D
+        np.testing.assert_array_equal(got[:, 1], l0)  # columns
+        np.testing.assert_array_equal(got[:, 1] - got[:, 0], m0)  # matches
