@@ -34,7 +34,16 @@ timeout 1200 python scripts/ablate_chain.py base subroll unroll8 hoist \
   > "$OUT/ablate.txt" 2>&1
 tail -8 "$OUT/ablate.txt"
 
-note "bench.py (full: DP + e2e 1.6 Mbp + 20 Mbp)"
+note "kernel-only rates + two-stage roofline"
+timeout 900 python scripts/roofline_e2e.py > "$OUT/roofline.json" 2>&1
+tail -1 "$OUT/roofline.json"
+
+note "stage-attributed e2e profile (1.6 + 20 Mbp, -t 1)"
+timeout 1800 python scripts/profile_e2e.py --mbp 1.6 20 --threads 1 \
+  > "$OUT/profile.json" 2> "$OUT/profile.log"
+cat "$OUT/profile.json"
+
+note "bench.py (full: DP + e2e 1.6 Mbp + 20 Mbp + roofline + splits)"
 timeout 3600 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
 cat "$OUT/bench.json"
 
